@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function library — Spark `Column` expressions for the
+  * reference's scalar surface (SURVEY.md §2.8). Everything here is
+  * built from codegen'd builtins (no UDFs) so it stays inside
+  * whole-stage codegen and remains pushdown-friendly.
+  */
+object Functions {
+
+  /** Shelley-era boundary on Cardano mainnet: first 1-second slot.
+    * (/root/reference/token_fee_analysis.py:8-16)
+    */
+  val ShelleyStartSlot: Long = 4492800L
+  val ShelleyStartPosixMs: Long = 1596059091000L
+  val ByronStartPosixMs: Long = 1506203091000L
+
+  /** F4 — era-aware slot → POSIX milliseconds (piecewise linear):
+    * Shelley slots are 1 s from slot 4,492,800; Byron slots are 20 s
+    * from POSIX 1,506,203,091,000 ms.
+    * (/root/reference/token_fee_analysis.py:8-16)
+    */
+  def slotToPosixMs(slot: Column): Column =
+    when(slot >= ShelleyStartSlot,
+      lit(ShelleyStartPosixMs) + (slot - ShelleyStartSlot) * 1000L)
+      .otherwise(lit(ByronStartPosixMs) + slot * 20000L)
+
+  /** Same SQL text, for oracle parity / spark.sql use. */
+  def slotToPosixMsSql(slotExpr: String): String =
+    s"CASE WHEN $slotExpr >= $ShelleyStartSlot " +
+      s"THEN $ShelleyStartPosixMs + ($slotExpr - $ShelleyStartSlot) * 1000 " +
+      s"ELSE $ByronStartPosixMs + $slotExpr * 20000 END"
+
+  /** F4 continued — slot → TimestampType, for window/time ops. */
+  def slotToTimestamp(slot: Column): Column =
+    timestamp_millis(slotToPosixMs(slot))
+
+  /** F5 — lovelace → ADA (/root/reference/token_fee_analysis.py:313). */
+  def lovelaceToAda(lovelace: Column): Column = lovelace / 1000000L
+
+  /** P4 — dynamic AND-composition of an optional inclusive range
+    * predicate, the reference's optional slot-range filter
+    * (/root/reference/token_fee_analysis.py:133-140). Returns
+    * `lit(true)` when both bounds are absent.
+    */
+  def rangeFilter(col: Column, min: Option[Column], max: Option[Column]): Column =
+    Seq(min.map(col >= _), max.map(col <= _))
+      .flatten
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** Exact decimal accumulator cast for order-independent, engine-exact
+    * double aggregation (SURVEY.md §7.0 determinism rules): a double is
+    * rounded to a fixed decimal scale (deterministic — both engines round
+    * the exact binary value), summed exactly as DECIMAL, and only the
+    * final result is cast back to double.
+    */
+  def dec(c: Column): Column = c.cast("decimal(38,6)")
+
+  /** Matching DuckDB-side SQL fragment for [[dec]]. */
+  def decSql(e: String): String = s"CAST($e AS DECIMAL(38,6))"
+}

@@ -1,0 +1,53 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access layer — the Spark realization of the reference's
+  * scan/view surface (SURVEY.md §2.1):
+  *
+  *  - S1 glob scan        (`read_parquet('duckdb/&#42;/tx.parquet')`,
+  *                         /root/reference/main.py:31)   → [[glob]]
+  *  - S2 multi-file scan  (`read_parquet([f1,f2,…])`,
+  *                         /root/reference/token_fee_analysis.py:78) → [[files]]
+  *  - S3/S4 views         (`CREATE OR REPLACE VIEW {t}_view …`,
+  *                         /root/reference/token_fee_analysis.py:73-81)
+  *                         → [[registerViews]]
+  *  - S7 CSV sink         (/root/reference/token_fee_analysis.py:346-350)
+  *                         → [[writeCsv]]
+  *
+  * All reads go through the vectorized parquet reader; filters/projections
+  * applied downstream are pushed into the scan by Catalyst — the manual
+  * "pre-filtered temp view" optimization of the reference
+  * (token_fee_analysis.py:142-151) is automatic here.
+  */
+object Tables {
+
+  /** Names of the driver-generated testdata tables (TESTDATA.md). */
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one testdata table: `<sfDir>/<name>.parquet`. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** S1 — glob scan across partition directories (Spark globs natively). */
+  def glob(spark: SparkSession, pattern: String): DataFrame =
+    spark.read.parquet(pattern)
+
+  /** S2 — explicit multi-file list scan. */
+  def files(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** S3 — register `<name>_view` temp views for every testdata table,
+    * the query-time table abstraction of the reference.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    testTables.foreach { t =>
+      table(spark, sfDir, t).createOrReplaceTempView(s"${t}_view")
+    }
+
+  /** S7 — CSV export of a (small, final) result. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}
