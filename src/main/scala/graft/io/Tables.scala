@@ -27,9 +27,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one testdata table: `<sfDir>/<name>.parquet`. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Read one testdata table: `<sfDir>/<name>.parquet`.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot infer
+    * unless `nanosAsLong` is on — set it here, at the read site, so any
+    * access path (queries, views, tests) works regardless of call order.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** S1 — glob scan across partition directories (Spark globs natively). */
   def glob(spark: SparkSession, pattern: String): DataFrame =

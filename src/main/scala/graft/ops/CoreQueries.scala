@@ -30,14 +30,20 @@ object CoreQueries {
 
   /** events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
     * timestamp, so we read it as raw int64 nanoseconds-since-epoch
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and the oracle mirrors via
-    * DuckDB `epoch_ns(ts)`. At 100 TB the event-time axis being a plain
-    * long is also the cheapest possible sort/partition key.
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set in Tables.table) and
+    * the oracle mirrors via DuckDB `epoch_ns(ts)`. At 100 TB the
+    * event-time axis being a plain long is also the cheapest possible
+    * sort/partition key.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-  }
+
+  /** DuckDB reads TIMESTAMP(NANOS) parquet at microsecond precision, so
+    * its `epoch_ns(ts)` is always µs-truncated while Spark keeps the full
+    * nanoseconds. Every comparison/order/output on the event-time axis
+    * must use this µs-truncated value for the two engines to agree.
+    */
+  private def tsUs(c: Column): Column = c - c % 1000L
 
   // ---------------------------------------------------------------------
   // q01 — S1+P1+P2+O1: scan → filter → project → top-K.
@@ -452,14 +458,18 @@ object CoreQueries {
        |      FROM events WHERE epoch_ns(ts) <= $cutoffNs) t
        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   ) { (spark, dir) =>
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    // filter/order/output all on the µs-truncated axis (see tsUs): an
+    // event 999 ns above the cutoff is IN for the µs-reading oracle, and
+    // two events in the same µs must tie-break on event_id identically.
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
     events(spark, dir)
-      .filter(col("ts") <= cutoffNs)
+      .withColumn("ts_us", tsUs(col("ts")))
+      .filter(col("ts_us") <= cutoffNs)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_type"), col("value").as("last_value"),
-        col("ts").as("ts_ns"))
+        col("ts_us").as("ts_ns"))
       .orderBy("user_id")
   }
 
@@ -474,8 +484,11 @@ object CoreQueries {
        |  COUNT(*) AS cnt, CAST(SUM(${decSql("value")}) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (spark, dir) =>
+    // bucket on the µs-truncated axis (tsUs): a timestamp within 1 µs
+    // above an hour boundary must land in the same bucket as the oracle's
+    // µs-read value at any scale factor.
     events(spark, dir)
-      .groupBy((col("ts") - col("ts") % hourNs).as("bucket_ns"), col("event_type"))
+      .groupBy((tsUs(col("ts")) - tsUs(col("ts")) % hourNs).as("bucket_ns"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy("bucket_ns", "event_type")
   }

@@ -47,8 +47,9 @@ def main(sf_dir, out_dir):
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         got_cols = [x[0] for x in con.description]
         if name not in oracle:
-            results[name] = f"ROWS_ONLY rows={len(got)}" + \
-                (" EMPTY!" if len(got) == 0 else "")
+            # rows==0 fails: driver's smoke contract is rows>0
+            results[name] = (f"ROWS_ONLY rows={len(got)}" if len(got) > 0
+                             else "ROWS_ONLY_EMPTY rows=0")
             continue
         try:
             exp = con.execute(oracle[name]).fetchall()
