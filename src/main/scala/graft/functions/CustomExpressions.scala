@@ -1,0 +1,233 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-fingerprinting / dedup
+  * operator family (the "custom Expression beats UDF" path of the build
+  * contract). All three run inside whole-stage codegen (RollingHash) or
+  * as a single-pass imperative aggregate (MinHashAgg / SimHashAgg), so
+  * the dedup pipelines stay shuffle-minimal: one aggregation produces a
+  * whole signature instead of exploding numHashes× rows per shingle.
+  */
+
+/** Polynomial rolling hash over a string's UTF-8 bytes:
+  * `acc_0 = 7; acc_{k+1} = (acc_k * base + byte_k) mod modulus`.
+  *
+  * The document-fingerprinting primitive (content-defined hashing) —
+  * codegen'd so fingerprinting 100 TB of text stays inside
+  * WholeStageCodegen. DuckDB-expressible via
+  * `list_reduce(list_prepend(7, [ascii(c) ...]), ...)`, which is what the
+  * oracle uses (byte == codepoint for ASCII corpora).
+  */
+case class RollingHash(child: Expression, base: Long, modulus: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var acc = 7L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * base + (bytes(i) & 0xff)) % modulus
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $acc = 7L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = ($acc * ${base}L + ($bytes[$i] & 0xff)) % ${modulus}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash"
+}
+
+object MinHashAgg {
+  /** splitmix64-style finalizer seeded per hash index: an independent
+    * bijective mix of the 64-bit base hash for each of the numHashes
+    * "permutations". Masked to non-negative so signatures read naturally.
+    */
+  def mix(x: Long, i: Int): Long = {
+    var z = x + 0x9e3779b97f4a7c15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) & Long.MaxValue
+  }
+}
+
+/** MinHash signature aggregate: over a group of 64-bit shingle hashes
+  * (e.g. `xxhash64(shingle)`), computes `sig[i] = min over shingles of
+  * mix_i(hash)` for i < numHashes — the estimator
+  * `P(sig_a[i] == sig_b[i]) = J(A,B)` behind MinHash-LSH near-dedup.
+  *
+  * A single-pass TypedImperativeAggregate with partial aggregation
+  * (map-side combine): each partition reduces to one numHashes-long
+  * buffer before the shuffle, vs the naive `explode(seqs) + groupBy`
+  * plan that shuffles numHashes× the shingle count.
+  */
+case class MinHashAgg(
+    child: Expression,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val h = MinHashAgg.mix(x, i)
+        if (h < buffer(i)) buffer(i) = h
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (b2(i) < b1(i)) b1(i) = b2(i)
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(numHashes * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numHashes)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_agg"
+}
+
+/** Charikar SimHash aggregate: over a group of 64-bit feature hashes,
+  * accumulates per-bit sign counts and emits the 64-bit signature whose
+  * bit b is set iff more features had bit b set than clear. Hamming
+  * distance between signatures ≈ angular distance between the feature
+  * multisets. Single-pass, partial-aggregable (the 64 counters sum).
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var b = 0
+      while (b < 64) {
+        buffer(b) += (if (((x >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+    var b = 0
+    while (b < 64) { b1(b) += b2(b); b += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Int]): Any = {
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (buffer(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def serialize(buffer: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 4)
+    buffer.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SimHashAgg =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_agg"
+}
+
+/** Session registration for the custom expressions, so queries can use
+  * them via `call_function` / SQL by name. Idempotent.
+  */
+object CustomFunctions {
+  val RollingHashBase = 31L
+  val RollingHashMod = 1000000007L
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "rolling_hash",
+      exprs => RollingHash(exprs.head, RollingHashBase, RollingHashMod),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash128", exprs => MinHashAgg(exprs.head, 128), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHashAgg(exprs.head), "built-in")
+  }
+}

@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Tables.table
+import graft.functions.CustomFunctions
+
+/** Deduplication operator family over the `documents` table — the
+  * training-data-pipeline surface (BASELINE.json north star). Four
+  * rungs of the standard dedup ladder, each Spark-first:
+  *
+  *  - d01 exact:        content-hash groupBy (one shuffle on the hash)
+  *  - d02 n-gram Jaccard: exact similarity join via shared-shingle
+  *    inverted index (no O(N²) cross join — pairs are generated only
+  *    for docs sharing a shingle, the sparse-similarity-join pattern)
+  *  - d03 MinHash+LSH:  single-pass MinHash signatures (custom
+  *    TypedImperativeAggregate) → banding → bucket join → exact-Jaccard
+  *    verification of the candidates only
+  *  - d04 SimHash:      64-bit Charikar signatures (custom aggregate) →
+  *    16-bit-chunk blocking (pigeonhole: hamming ≤ 3 ⇒ some chunk equal)
+  *    → verified hamming distance
+  *
+  * 100 TB posture: every stage is a hash shuffle on a key whose
+  * cardinality grows with the data (hash / shingle / band bucket /
+  * chunk); nothing is collected to the driver and no stage is O(N²) in
+  * the corpus — candidate generation is bounded by true collision
+  * counts, the property that makes MinHash/SimHash the scale path.
+  */
+object DedupQueries {
+
+  /** Distinct word-trigram shingles per doc: (doc_id, g). Shared by the
+    * Jaccard / MinHash / SimHash pipelines and their oracles.
+    */
+  def wordTrigrams(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ",
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3))))).as("g"))
+  }
+
+  /** Matching DuckDB CTEs producing the same (doc_id, g) relation. */
+  val trigramCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+      |  WHERE len(w) >= 3
+      |)""".stripMargin
+
+  /** Exact Jaccard over the (small) verified candidate pair set:
+    * given pairs (a, b), join each side's shingles and count the
+    * intersection; J = |∩| / (|A| + |B| − |∩|). Integer counts and one
+    * double division — bit-identical across engines.
+    */
+  private def exactJaccard(pairs: DataFrame, grams: DataFrame): DataFrame = {
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ga = grams.toDF("a", "ga")
+    val gb = grams.toDF("b", "gb")
+    val inter = pairs
+      .join(ga, "a").join(gb, "b")
+      .filter(col("ga") === col("gb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.toDF("a", "sa")), "a")
+      .join(broadcast(sizes.toDF("b", "sb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // d01 — exact dedup: group by content hash, keep the smallest doc_id.
+  // One shuffle on md5(text); at 100 TB the hash groupBy is the only
+  // exact-dedup plan that doesn't compare documents pairwise.
+  // ---------------------------------------------------------------------
+  val d01 = Q("d01_dedup_exact",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+  }
+
+  // ---------------------------------------------------------------------
+  // d02 — exact n-gram Jaccard similarity join: inverted-index self-join
+  // on shared trigrams generates candidate pairs with their intersection
+  // counts in one aggregation; J from set sizes. The sf-independent
+  // exact ground truth the approximate rungs (d03/d04) are judged
+  // against. At 100 TB you'd add prefix filtering on the shingle lists;
+  // the shape (index join, no cross product) is already the scale one.
+  // ---------------------------------------------------------------------
+  val d02 = Q("d02_dedup_ngram_jaccard",
+    s"""WITH $trigramCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a AS doc_a, b AS doc_b,
+       |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (spark, dir) =>
+    val grams = wordTrigrams(table(spark, dir, "documents"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ga = grams.toDF("a", "ga")
+    val gb = grams.toDF("b", "gb")
+    val inter = ga.join(gb, col("ga") === col("gb") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.toDF("a", "sa")), "a")
+      .join(broadcast(sizes.toDF("b", "sb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // d03 — MinHash + LSH near-dedup: 128-hash signatures in ONE pass over
+  // the shingles (MinHashAgg, no 128× explode), banded 32×4, bucket
+  // join on (band, band-hash), then exact-Jaccard verification of the
+  // candidates only. With r=4, b=32 the miss probability at J ≥ 0.8 is
+  // ≤ (1 − 0.8⁴)³² ≈ 3e-9, so the verified output equals d02's exact
+  // answer — which is exactly the oracle used here. This is the 100 TB
+  // plan: the only all-pairs work is within LSH buckets.
+  // ---------------------------------------------------------------------
+  val numBands = 32
+  val rowsPerBand = 4
+
+  val d03 = Q("d03_dedup_minhash_lsh",
+    // LSH candidates + exact verification ≡ exact Jaccard ≥ 0.8 (see
+    // miss-probability above) — the oracle is the exact computation.
+    s"""WITH $trigramCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a AS doc_a, b AS doc_b,
+       |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (spark, dir) =>
+    CustomFunctions.register(spark)
+    val grams = wordTrigrams(table(spark, dir, "documents"))
+    val sigs = grams.groupBy("doc_id")
+      .agg(call_function("minhash128", xxhash64(col("g"))).as("sig"))
+    // banding: bucket key = hash of each band's r signature values
+    val bands = sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)), bi =>
+        struct(bi.as("band"),
+          xxhash64(concat_ws(",", transform(
+            slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")))).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = bands.toDF("a", "band", "bh")
+      .join(bands.toDF("b", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("a") < col("b"))
+      .select("a", "b").distinct()
+    exactJaccard(candidates, grams)
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // d04 — SimHash near-dedup: 64-bit trigram SimHash per doc (custom
+  // single-pass aggregate), candidate pairs via 4×16-bit chunk blocking
+  // (hamming ≤ 3 ⇒ at least one chunk identical, by pigeonhole), then
+  // verified bit_count(xor) ≤ 3. xxhash64 isn't available to DuckDB, so
+  // this is a rows-only query; SimHashSpec pins the semantics (a
+  // single-feature group's signature is the feature hash itself, and the
+  // blocked pipeline returns exactly the brute-force hamming ≤ 3 pairs).
+  // ---------------------------------------------------------------------
+  val hammingMax = 3
+
+  val d04 = Q.noOracle("d04_dedup_simhash") { (spark, dir) =>
+    CustomFunctions.register(spark)
+    val grams = wordTrigrams(table(spark, dir, "documents"))
+    val sigs = grams.groupBy("doc_id")
+      .agg(call_function("simhash64", xxhash64(col("g"))).as("sig"))
+    // (sig >> n) & 0xFFFF: arithmetic shift + mask == logical shift for
+    // the low 16 bits, so the sign bit never leaks into a chunk.
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(expr("transform(sequence(0, 3), i -> struct(" +
+        "cast(i AS int) AS chunk_id, " +
+        "shiftright(sig, cast(i * 16 AS int)) & 65535 AS chunk))")).as("cc"))
+      .select(col("doc_id"), col("sig"),
+        col("cc.chunk_id").as("chunk_id"), col("cc.chunk").as("chunk"))
+    val candidates = chunks.toDF("a", "sig_a", "chunk_id", "chunk")
+      .join(chunks.toDF("b", "sig_b", "chunk_id2", "chunk2"),
+        col("chunk_id") === col("chunk_id2") && col("chunk") === col("chunk2") &&
+          col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+    candidates
+      .filter(col("hamming") <= hammingMax)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04)
+}

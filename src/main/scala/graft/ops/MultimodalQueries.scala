@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Tables.table
+
+/** Input row for the media pipeline: an opaque binary payload keyed by
+  * doc_id — the carrier shape for image/audio/video bytes at scale.
+  */
+case class MediaIn(doc_id: Long, payload: Array[Byte])
+
+/** Decoded-media metadata produced by the (stubbed) decoder. */
+case class MediaOut(
+    doc_id: Long,
+    byte_len: Long,
+    width: Long,
+    height: Long,
+    n_frames: Long,
+    frame_digest: String)
+
+/** Multimodal-column operator family: media as opaque `binary` columns
+  * with typed metadata, decode/feature-extract as a per-partition batch
+  * transform, frame sampling as a relational explode.
+  *
+  * The decode step is a DETERMINISTIC STUB (this container has no image
+  * or audio codecs): `fakeDecode` derives metadata arithmetically from
+  * the payload bytes where a real pipeline would call the codec. All the
+  * Spark-side plumbing is real — binary column carriage, the typed
+  * `Dataset.mapPartitions` batch shape (per-partition setup amortized
+  * exactly like a model/codec handle would be), the metadata schema, and
+  * the downstream relational ops. Swapping in a real decoder changes one
+  * function body, not the pipeline.
+  *
+  * 100 TB posture: payloads never leave their partition (no shuffle
+  * before the final presentation sort); per-partition batches keep
+  * decoder setup off the per-row path; metadata, not media bytes, flows
+  * into joins/aggregations downstream.
+  */
+object MultimodalQueries {
+
+  /** The decode stub: deterministic pseudo-metadata from the raw bytes.
+    * Real deployments replace the body with an actual codec call; the
+    * MD5 "frame digest" stands in for extracted features and doubles as
+    * an integrity check on the binary round-trip.
+    */
+  def fakeDecode(m: MediaIn, md: java.security.MessageDigest): MediaOut = {
+    md.reset()
+    val digest = md.digest(m.payload).map("%02x".format(_)).mkString
+    val len = m.payload.length.toLong
+    MediaOut(m.doc_id, len, 16 + len % 64, 16 + (len * 7) % 64, 1 + len % 8, digest)
+  }
+
+  // ---------------------------------------------------------------------
+  // m01 — decode + feature-extract: text bytes stand in for media bytes
+  // (`cast(text AS binary)` = the opaque payload). Typed mapPartitions:
+  // one digest/codec handle per partition, streamed over the batch.
+  // Oracle re-derives the same metadata arithmetically in DuckDB.
+  // ---------------------------------------------------------------------
+  val m01 = Q("m01_media_decode",
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  16 + octet_length(encode(text)) % 64 AS width,
+      |  16 + (octet_length(encode(text)) * 7) % 64 AS height,
+      |  1 + octet_length(encode(text)) % 8 AS n_frames,
+      |  md5(text) AS frame_digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map(m => fakeDecode(m, md))
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // m02 — frame sampling: expand each media item into its (stubbed)
+  // frames relationally — sequence + explode, the generator shape — and
+  // fingerprint each frame. Pure builtins: the expansion stays inside
+  // whole-stage codegen and scales as a map-only op.
+  // ---------------------------------------------------------------------
+  val m02 = Q("m02_frame_sample",
+    """WITH media AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |    1 + octet_length(encode(text)) % 8 AS n_frames, text
+      |  FROM documents)
+      |SELECT doc_id, f.frame_id,
+      |  md5(text || '#' || CAST(f.frame_id AS VARCHAR)) AS frame_hash
+      |FROM media, LATERAL (
+      |  SELECT unnest(generate_series(0, n_frames - 1)) AS frame_id) f
+      |ORDER BY doc_id, f.frame_id""".stripMargin
+  ) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (lit(1) + length(col("text")).cast("long") % 8).as("n_frames"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
+      .select(col("doc_id"), col("frame_id"),
+        md5(concat(col("text"), lit("#"), col("frame_id").cast("string"))
+          .cast("binary")).as("frame_hash"))
+      .orderBy("doc_id", "frame_id")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02)
+}

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Tables.table
+import graft.functions.CustomFunctions
+
+/** Text-analysis operator family over the `documents` table — the
+  * quality/filtering surface of a training-data pipeline: language ID,
+  * quality scoring, token counting, and content fingerprinting. All
+  * pure codegen'd builtins (plus the native RollingHash expression), so
+  * each op is a single scan-project with no shuffle except the final
+  * presentation ORDER BY — the shape that runs at 100 TB as a map-only
+  * pass over the corpus.
+  */
+object TextQueries {
+
+  /** Marker-token profiles for the n-gram/stopword language-ID
+    * heuristic. Calibrated to the synthetic testdata vocabulary (the
+    * corpus is OLAP word salad in every `lang`) — a real deployment
+    * plugs real per-language stopword tables into the same operator.
+    * Order = deterministic tie-break priority.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data", "value", "row"),
+    "es" -> Seq("query", "table", "column", "line"),
+    "de" -> Seq("scan", "sort", "merge", "group"),
+    "fr" -> Seq("join", "key", "hash", "part"),
+    "zh" -> Seq("stream", "batch", "window", "spark"))
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Fraction of tokens contained in `markers` (occurrence-weighted, not
+    * distinct): one filter+size over the token array, one division.
+    */
+  private def markerRatio(w: Column, markers: Seq[String]): Column =
+    size(filter(w, t => array_contains(typedLit(markers), t))).cast("double") / size(w)
+
+  private def markerRatioSql(markers: Seq[String]): String =
+    s"CAST(len(list_filter(w, t -> list_contains(${sqlList(markers)}, t))) AS DOUBLE) / len(w)"
+
+  // ---------------------------------------------------------------------
+  // t01 — language identification: marker-token ratio per language
+  // profile, argmax with a fixed priority order on ties. A single
+  // map-only pass; the per-language scores are one lambda filter each.
+  // ---------------------------------------------------------------------
+  val t01 = Q("t01_lang_id", {
+    val scores = langProfiles
+      .map { case (l, ws) => s"  ${markerRatioSql(ws)} AS score_$l" }
+      .mkString(",\n")
+    val langs = langProfiles.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1)
+      if (later.isEmpty) s"ELSE '$l'"
+      else s"WHEN ${later.map(o => s"score_$l >= score_$o").mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |scored AS (SELECT doc_id, lang,
+       |$scores
+       |FROM toks)
+       |SELECT doc_id, lang, CASE $cases END AS predicted,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }) { (spark, dir) =>
+    val langs = langProfiles.map(_._1)
+    val withScores = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(Seq(col("doc_id"), col("lang")) ++ langProfiles.map {
+        case (l, ws) => markerRatio(col("w"), ws).as(s"score_$l")
+      }: _*)
+    // argmax with fixed priority: first lang whose score >= all later ones
+    val predicted = langs.zipWithIndex.init.foldLeft(when(lit(false), "")) {
+      case (acc, (l, i)) =>
+        val later = langs.drop(i + 1)
+        acc.when(later.map(o => col(s"score_$l") >= col(s"score_$o"))
+          .reduce(_ && _), l)
+    }.otherwise(langs.last)
+    withScores
+      .select(Seq(col("doc_id"), col("lang"), predicted.as("predicted")) ++
+        langs.map(l => col(s"score_$l")): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // t02 — quality scoring: token count, mean token length, stopword
+  // ratio, distinct-token ratio, and a weighted score. All integer
+  // counts + fixed-shape double arithmetic (bit-identical cross-engine).
+  // The filter threshold a pipeline would use is exposed as a flag.
+  // ---------------------------------------------------------------------
+  private val stop = langProfiles.head._2
+  val t02 = Q("t02_quality_score",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w, len(text) AS n FROM documents)
+       |SELECT doc_id, len(w) AS n_tokens,
+       |  CAST(n - (len(w) - 1) AS DOUBLE) / len(w) AS mean_tok_len,
+       |  ${markerRatioSql(stop)} AS stop_ratio,
+       |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+       |  (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
+       |    + ${markerRatioSql(stop)} * 0.3
+       |    + (CASE WHEN len(w) >= 20 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
+       |  CASE WHEN ((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
+       |    + ${markerRatioSql(stop)} * 0.3
+       |    + (CASE WHEN len(w) >= 20 THEN 1.0 ELSE 0.0 END) * 0.2) >= 0.3
+       |    THEN 1 ELSE 0 END AS keep
+       |FROM toks ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val df = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        length(col("text")).cast("long").as("n"))
+    val nTok = size(col("w"))
+    val meanTokLen = (col("n") - (nTok - 1)).cast("double") / nTok
+    val stopRatio = markerRatio(col("w"), stop)
+    val distinctRatio = size(array_distinct(col("w"))).cast("double") / nTok
+    val quality = distinctRatio * 0.5 + stopRatio * 0.3 +
+      when(nTok >= 20, 1.0).otherwise(0.0) * 0.2
+    df.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        meanTokLen.as("mean_tok_len"), stopRatio.as("stop_ratio"),
+        distinctRatio.as("distinct_ratio"), quality.as("quality"),
+        when(quality >= 0.3, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // t03 — token counting: whitespace tokens and a BPE-ish regex
+  // tokenizer (alpha runs | digit runs | single non-alphanumeric), the
+  // two token-budget estimators a data pipeline carries. The regex is
+  // engine-portable (same semantics in Java regex and RE2).
+  // ---------------------------------------------------------------------
+  private val tokRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  val t03 = Q("t03_token_count",
+    s"""SELECT doc_id, len(text) AS n_chars,
+       |  len(string_split(text, ' ')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$tokRe')) AS re_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(tokRe), lit(0))).cast("long")
+          .as("re_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // t04 — document fingerprinting: whole-text polynomial rolling hash
+  // (native codegen'd RollingHash expression) plus the minimum
+  // trigram-shingle fingerprint (winnowing-style content anchor that
+  // survives local edits). Oracle mirrors both via DuckDB list_reduce.
+  // ---------------------------------------------------------------------
+  val t04 = Q("t04_fingerprint",
+    s"""WITH ${DedupQueries.trigramCte},
+       |gh AS (
+       |  SELECT doc_id,
+       |    min(list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      [CAST(ascii(c) AS BIGINT) FOR c IN split(g, '')]),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS min_gram_fp,
+       |    count(*) AS n_grams
+       |  FROM grams GROUP BY 1)
+       |SELECT d.doc_id,
+       |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |    [CAST(ascii(c) AS BIGINT) FOR c IN split(d.text, '')]),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+       |  gh.min_gram_fp, gh.n_grams
+       |FROM documents d JOIN gh ON gh.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    CustomFunctions.register(spark)
+    val docs = table(spark, dir, "documents")
+    val gramFp = DedupQueries.wordTrigrams(docs)
+      .groupBy("doc_id")
+      .agg(min(call_function("rolling_hash", col("g"))).as("min_gram_fp"),
+        count(lit(1)).as("n_grams"))
+    docs
+      .select(col("doc_id"), call_function("rolling_hash", col("text")).as("fp"))
+      .join(gramFp, "doc_id")
+      .select("doc_id", "fp", "min_gram_fp", "n_grams")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04)
+}

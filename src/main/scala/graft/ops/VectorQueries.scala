@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Tables.table
+
+/** Embedding-similarity operator family over the `embeddings` table
+  * (64-dim float vectors): brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH bucketing as the scale path, and
+  * blocked nearest-neighbor near-dup detection.
+  *
+  * Determinism: vectors are cast float→double element-wise (exact), and
+  * every dot product / norm is a strict left fold (`functions.aggregate`)
+  * mirrored by DuckDB `list_reduce` in the oracles — identical IEEE
+  * operation order, so cosines match bit-for-bit with no rounding.
+  *
+  * 100 TB posture: brute force is O(Q·N) and only right for a bounded
+  * query set (s01); the LSH variant (s02) and the coarse-block
+  * restriction (d05) are the patterns that bound all-pairs work at
+  * scale — candidates share a bucket/block, everything else is pruned
+  * before any distance is computed.
+  */
+object VectorQueries {
+
+  /** Strict left-fold dot product over two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** Strict left-fold L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB mirror of [[dot]]: list_reduce left fold over the zipped
+    * element products (list_zip entries are structs, fields 1-indexed).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (s, x) -> s + x)"
+
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform($a, x -> x * x)), (s, x) -> s + x))"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  /** The query set for the ANN ops: a bounded, data-independent id range
+    * (a real pipeline would broadcast its query batch the same way).
+    */
+  private val numQueries = 10
+  val topK = 5
+
+  // ---------------------------------------------------------------------
+  // s01 — brute-force cosine top-k: the exact ANN baseline. Q bounded →
+  // the query side broadcasts and the corpus streams through one
+  // map-side cross join; per-query top-k via rank window (the only
+  // shuffle, keyed by query).
+  // ---------------------------------------------------------------------
+  val s01 = Q("s01_ann_brute_topk",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $numQueries),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id, ${cosSql("q.qv", "e.v")} AS cos
+       |  FROM q, e WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM pairs)
+       |SELECT qid, rank, vec_id AS neighbor_id, cos FROM ranked
+       |WHERE rank <= $topK ORDER BY qid, rank""".stripMargin
+  ) { (spark, dir) =>
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // s02 — LSH-bucketed ANN: 6 fixed random hyperplanes → 64 sign-pattern
+  // buckets; a query is compared only against its own bucket (≈ N/64 of
+  // the corpus), then ranked. The approximate scale path for s01 — at
+  // 100 TB the bucket id is the shuffle/partition key and each bucket is
+  // processed independently. Hyperplanes are seeded constants (planes
+  // aren't expressible to the SQL oracle → rows-only; VectorSpec pins
+  // recall against s01's exact answer).
+  // ---------------------------------------------------------------------
+  private val numPlanes = 6
+  lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  def bucketOf(v: Column): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, j)) =>
+      acc + when(dot(v, typedLit(p.toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+
+  val s02 = Q.noOracle("s02_ann_lsh_bucketed") { (spark, dir) =>
+    val e = vectors(spark, dir).withColumn("bucket", bucketOf(col("v")))
+    val qb = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(qb).join(e, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // d05 — embedding-cosine near-dup: nearest neighbor per vector within
+  // its coarse block (`label` stands in for the IVF/k-means cell a real
+  // pipeline assigns), flagged against a near-dup threshold. Restricting
+  // candidates to the block is what bounds the O(N²) at scale.
+  // ---------------------------------------------------------------------
+  val neardupThreshold = 0.4
+
+  val d05 = Q("d05_embed_neardup",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS nn, ${cosSql("a.v", "b.v")} AS cos
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, label, nn, cos, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, nn) AS rn
+       |  FROM pairs)
+       |SELECT vec_id, label, nn AS nn_id, cos AS nn_cos,
+       |  CASE WHEN cos >= $neardupThreshold THEN 1 ELSE 0 END AS is_neardup
+       |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = vectors(spark, dir)
+    val a = e.toDF("vec_id", "label", "v")
+    val b = e.toDF("nn", "label_b", "bv")
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn"))
+    a.join(b, col("label") === col("label_b") && col("vec_id") =!= col("nn"))
+      .select(col("vec_id"), col("label"), col("nn"),
+        cosine(col("v"), col("bv")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("nn").as("nn_id"),
+        col("cos").as("nn_cos"),
+        when(col("cos") >= neardupThreshold, 1L).otherwise(0L).as("is_neardup"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, d05)
+}
