@@ -206,7 +206,7 @@ object DedupQueries {
         col("chunk_id") === col("chunk_id2") && col("chunk") === col("chunk2") &&
           col("a") < col("b"))
       .select(col("a"), col("b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .distinct()
     candidates
       .filter(col("hamming") <= hammingMax)

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CustomFunctions, MinHashAgg}
+
+/** Pins the semantics of the native Catalyst expressions: the codegen'd
+  * RollingHash against an independent Scala reference, and the
+  * single-pass MinHash/SimHash aggregates against their algebraic
+  * identities (single-feature groups, partition-split merge).
+  */
+class CustomExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refRollingHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(7L)((acc, b) =>
+      (acc * CustomFunctions.RollingHashBase + (b & 0xff)) % CustomFunctions.RollingHashMod)
+
+  test("rolling_hash matches the reference fold, interpreted and codegen'd") {
+    CustomFunctions.register(spark)
+    val inputs = Seq("", "a", "hello world", "the quick brown fox", "x" * 500)
+    val df = inputs.toDF("s").select(col("s"), call_function("rolling_hash", col("s")).as("h"))
+    // whole-stage codegen path
+    val got = df.orderBy(length(col("s"))).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach(s => assert(got(s) === refRollingHash(s), s"input '$s'"))
+  }
+
+  test("minhash128: single-feature group signature is mix_i(hash)") {
+    CustomFunctions.register(spark)
+    val df = Seq((1L, 42L)).toDF("k", "h")
+      .groupBy("k").agg(call_function("minhash128", col("h")).as("sig"))
+    val sig = df.collect()(0).getSeq[Long](1)
+    assert(sig.length === 128)
+    (0 until 128).foreach(i => assert(sig(i) === MinHashAgg.mix(42L, i)))
+  }
+
+  test("minhash128: partition split does not change the signature (merge correctness)") {
+    CustomFunctions.register(spark)
+    val data = (1L to 400L).map(i => (i % 2, i * 7919L))
+    def sigOf(parts: Int) = {
+      val rows = data.toDF("k", "h").repartition(parts)
+        .groupBy("k").agg(call_function("minhash128", col("h")).as("sig"))
+        .orderBy("k").collect()
+      rows.map(_.getSeq[Long](1))
+    }
+    val one = sigOf(1)
+    val eight = sigOf(8)
+    assert(one.zip(eight).forall { case (a, b) => a == b })
+  }
+
+  test("minhash128: signature agreement estimates Jaccard") {
+    CustomFunctions.register(spark)
+    // two sets with true Jaccard 60/140 ≈ 0.43
+    val a = (1L to 100L).map(("a", _))
+    val b = (41L to 180L).map(("b", _))
+    val sigs = (a ++ b).toDF("k", "x")
+      .groupBy("k").agg(call_function("minhash128", xxhash64(col("x"))).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs("a").zip(sigs("b")).count { case (x, y) => x == y } / 128.0
+    val trueJ = 60.0 / 180.0
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+  }
+
+  test("simhash64: single-feature signature is the feature hash; merge is partition-stable") {
+    CustomFunctions.register(spark)
+    val h = -3141592653589793238L
+    val single = Seq((1L, h)).toDF("k", "x")
+      .groupBy("k").agg(call_function("simhash64", col("x")).as("sig"))
+      .collect()(0).getLong(1)
+    assert(single === h)
+
+    val data = (1L to 300L).map(i => (1L, i * 2654435761L))
+    def sigOf(parts: Int) =
+      data.toDF("k", "x").repartition(parts)
+        .groupBy("k").agg(call_function("simhash64", col("x")).as("sig"))
+        .collect()(0).getLong(1)
+    assert(sigOf(1) === sigOf(6))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupQueries, VectorQueries}
+
+/** Cross-checks the approximate dedup/ANN pipelines against brute-force
+  * ground truth on the same session, and smoke-runs every registered
+  * query: nonzero rows, unique lower-case column names (the driver's
+  * compare sorts by name, so duplicates/case clashes would break it).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("every registered query returns rows on sf0.001 and has sane columns") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val cols = df.columns
+      assert(cols.map(_.toLowerCase).distinct.length === cols.length, s"$name: dup columns")
+      val n = df.limit(1).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).limit(1).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("d03 MinHash-LSH output equals d02 exact n-gram Jaccard output") {
+    val exact = DedupQueries.d02.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = DedupQueries.d03.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("d04 chunk-blocked SimHash equals brute-force hamming pairs") {
+    graft.functions.CustomFunctions.register(spark)
+    val grams = DedupQueries.wordTrigrams(spark.read.parquet(s"$sf/documents.parquet"))
+    val sigs = grams.groupBy("doc_id")
+      .agg(call_function("simhash64", xxhash64(col("g"))).as("sig"))
+    val brute = sigs.toDF("a", "sa")
+      .join(sigs.toDF("b", "sb"), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("h"))
+      .filter(col("h") <= DedupQueries.hammingMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = DedupQueries.d04.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("s02 LSH ANN: ranked output is bucket-consistent and cosine-correct") {
+    val rows = VectorQueries.s02.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rank restarts at 1 per query and is contiguous
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length))
+    }
+    // each reported neighbor shares the query's hyperplane bucket
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", VectorQueries.bucketOf(col("v")))
+    val buckets = e.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(buckets(r.getLong(0)) === buckets(r.getLong(2)),
+        s"query ${r.getLong(0)} and neighbor ${r.getLong(2)} in different buckets")
+    }
+    // cosines are true cosines (within [-1, 1])
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+  }
+
+  test("s01 brute-force top-k dominates s02 bucketed results per query") {
+    val s1 = VectorQueries.s01.fn(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getDouble(3)).max }
+    val s2 = VectorQueries.s02.fn(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getDouble(3)).max }
+    s2.foreach { case (q, best2) =>
+      assert(best2 <= s1(q) + 1e-12, s"bucketed beat brute force for query $q")
+    }
+  }
+
+  test("m01 frame digest is the true MD5 of the payload bytes") {
+    val row = graft.ops.MultimodalQueries.m01.fn(spark, sf)
+      .limit(1).collect()(0)
+    val docId = row.getLong(0)
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === docId).select("text").collect()(0).getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getString(5) === expected)
+  }
+}
