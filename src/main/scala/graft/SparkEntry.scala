@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CoreQueries, DedupQueries, MultimodalQueries, TextQueries, VectorQueries}
+import graft.ops.{CardanoQueries, CoreQueries, DedupQueries, MultimodalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      VectorQueries.all ++ MultimodalQueries.all
+      VectorQueries.all ++ MultimodalQueries.all ++ CardanoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full token-transfer CTE pipeline shape

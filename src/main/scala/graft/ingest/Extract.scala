@@ -1,0 +1,208 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Blake2b256
+import graft.schema.Schemas
+
+/** Batch ingestion analogue of the reference's chain-sync extraction
+  * loop (/root/reference/ogmios_parquet.py:574-818), re-expressed as one
+  * distributed relational job: a DataFrame of Ogmios-style block JSON →
+  * the eleven Cardano tables via `from_json` + `explode`, written
+  * slot-group-partitioned in a single pass.
+  *
+  * What the reference does imperatively (per-tx Python extractors
+  * appending to per-slot-group buffers, flushed every 20k slots, then a
+  * merge-and-compress phase, :489-571) collapses here into declarative
+  * column expressions: Spark's distributed partitioned write replaces
+  * buffering/flush/merge, and the whole pipeline is one shuffle-free
+  * scan per output table (explode + project; the only wide operation is
+  * the write's partitioning).
+  *
+  * Rollbacks: the reference acknowledges and ignores them
+  * (:813-814). Same limitation here, with the same remedy available —
+  * idempotent overwrite of the affected slot-group partitions.
+  */
+object Extract {
+
+  /** blake2b-256 as a UDF over binary — ingest-side only (datum_hash
+    * derivation), never in the query hot path (SURVEY.md §2.8 F3).
+    */
+  val blake2b256 = udf((b: Array[Byte]) =>
+    if (b == null) null else Blake2b256.digest(b))
+
+  /** Parse raw block JSON (one block per row in `jsonCol`) into the
+    * exploded (slot, tx) relation every extractor consumes.
+    */
+  def parse(raw: DataFrame, jsonCol: String = "json"): DataFrame =
+    raw
+      .select(from_json(col(jsonCol), Schemas.blockSchema).as("b"))
+      .select(col("b.slot").as("slot"), explode(col("b.transactions")).as("tx"))
+
+  private def nsize(c: Column): Column =
+    when(c.isNull, 0).otherwise(size(c))
+
+  private val txId: Column = unhex(col("tx.id")).as("tx_id")
+
+  /** tx table (/root/reference/ogmios_parquet.py:227-257). */
+  def tx(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("slot"), txId,
+      coalesce(col("tx.fee.ada.lovelace"), lit(0L)).as("tx_fee"),
+      nsize(col("tx.inputs")).as("input_count"),
+      nsize(col("tx.outputs")).as("output_count"),
+      nsize(col("tx.redeemers")).as("redeemer_count"),
+      nsize(map_keys(col("tx.datums"))).as("witness_datum_count"),
+      (nsize(map_keys(col("tx.mint"))) > 0).as("has_mint"),
+      (nsize(map_keys(col("tx.withdrawals"))) > 0).as("has_withdrawal"),
+      (nsize(col("tx.certificates")) > 0).as("has_cert"),
+      (nsize(col("tx.votes")) > 0).as("has_vote"),
+      (nsize(col("tx.proposals")) > 0).as("has_proposal"),
+      coalesce(transform(col("tx.inputs"), i => struct(
+        unhex(i.getField("transaction").getField("id")).as("tx_id"),
+        coalesce(i.getField("index"), lit(0)).as("output_index"))),
+        typedLit(Seq.empty[(Array[Byte], Int)])
+          .cast(Schemas.tx("inputs").dataType)).as("inputs"))
+
+  /** One row per produced output (/root/reference/ogmios_parquet.py:260-282). */
+  def utxo(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("slot"), txId, posexplode(col("tx.outputs")).as(Seq("output_index", "o")))
+      .select(
+        col("slot"), col("tx_id"), col("output_index"),
+        coalesce(col("o.address"), lit("")).as("address"),
+        coalesce(col("o.value")("ada")("lovelace"), lit(0L)).as("lovelace"),
+        (nsize(map_keys(col("o.value"))) > 1).as("has_token"),
+        (col("o.datumHash").isNotNull || col("o.datum").isNotNull).as("has_datum"),
+        col("o.script").isNotNull.as("has_ref_script"))
+
+  /** Mint/burn rows: the doubly-nested policy→asset→qty map flattened
+    * with two explodes (/root/reference/ogmios_parquet.py:285-300).
+    */
+  def mint(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("slot"), txId, explode(col("tx.mint")).as(Seq("policy", "assets")))
+      .select(col("slot"), col("tx_id"), col("policy"),
+        explode(col("assets")).as(Seq("asset", "quantity")))
+      .select(col("slot"), col("tx_id"),
+        unhex(col("policy")).as("policy_id"),
+        unhex(col("asset")).as("asset_name"),
+        col("quantity"))
+
+  /** Non-ADA assets per output, address duplicated by design
+    * (/root/reference/ogmios_parquet.py:303-330, README.md:59-61).
+    */
+  def asset(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("slot"), txId, posexplode(col("tx.outputs")).as(Seq("output_index", "o")))
+      .filter(nsize(map_keys(col("o.value"))) > 1)
+      .select(col("slot"), col("tx_id"), col("output_index"),
+        coalesce(col("o.address"), lit("")).as("address"),
+        explode(col("o.value")).as(Seq("policy", "assets")))
+      .filter(col("policy") =!= "ada")
+      .select(col("slot"), col("tx_id"), col("output_index"), col("address"),
+        unhex(col("policy")).as("policy_id"),
+        explode(col("assets")).as(Seq("asset", "amount")))
+      .select(col("slot"), col("tx_id"), col("output_index"), col("address"),
+        col("policy_id"), unhex(col("asset")).as("asset_name"), col("amount"))
+
+  /** Datum rows; hash taken verbatim or derived as blake2b-256 of the
+    * inline CBOR (/root/reference/ogmios_parquet.py:337-367).
+    */
+  def datum(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("slot"), txId, posexplode(col("tx.outputs")).as(Seq("output_index", "o")))
+      .filter(col("o.datumHash").isNotNull || col("o.datum").isNotNull)
+      .select(col("slot"), col("tx_id"), col("output_index"),
+        coalesce(unhex(col("o.datumHash")),
+          blake2b256(unhex(col("o.datum")))).as("datum_hash"),
+        col("o.datum").isNotNull.as("is_inline"),
+        unhex(col("o.datum")).as("inline_datum"))
+
+  private def certs(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("slot"), txId, explode(col("tx.certificates")).as("c"))
+
+  /** Base cert table: every certificate's (slot, tx_id, type)
+    * (/root/reference/ogmios_parquet.py:387-393).
+    */
+  def cert(parsed: DataFrame): DataFrame =
+    certs(parsed).select(col("slot"), col("tx_id"), col("c.type").as("type"))
+
+  /** Stake certs (/root/reference/ogmios_parquet.py:395-414). The
+    * reference reads `credential` off the tx object (:401) — apparent
+    * bug; we take it from the certificate. drep_id is the id for
+    * registered dreps, else the sentinel type string
+    * ("alwaysAbstain"/"alwaysNoConfidence"), as in :408-411.
+    */
+  def certStake(parsed: DataFrame): DataFrame =
+    certs(parsed)
+      .filter(col("c.type").isin(
+        "stakeDelegation", "stakeCredentialRegistration",
+        "stakeCredentialDeregistration"))
+      .select(col("slot"), col("tx_id"), col("c.type").as("type"),
+        unhex(col("c.credential")).as("credential"),
+        when(col("c.type") === "stakeDelegation", col("c.stakePool.id"))
+          .as("pool_id"),
+        when(col("c.type") === "stakeDelegation",
+          when(col("c.delegateRepresentative.type") === "registered",
+            col("c.delegateRepresentative.id"))
+            .otherwise(col("c.delegateRepresentative.type"))).as("drep_id"))
+
+  /** Pool registration/retirement certs with the "n/d" margin parse
+    * (/root/reference/ogmios_parquet.py:416-443; split at :432-435).
+    */
+  def certPool(parsed: DataFrame): DataFrame = {
+    val isReg = col("type") === "stakePoolRegistration"
+    certs(parsed)
+      .filter(col("c.type").isin("stakePoolRegistration", "stakePoolRetirement"))
+      .select(col("slot"), col("tx_id"), col("c.type").as("type"),
+        col("c.stakePool").as("p"))
+      .select(col("slot"), col("tx_id"), col("type"),
+        col("p.id").as("pool_id"),
+        col("p.rewardAccount").as("reward_account"),
+        col("p.pledge.ada.lovelace").as("pledge"),
+        when(isReg, element_at(split(col("p.margin"), "/"), 1).cast("long"))
+          .as("margin_numerator"),
+        when(isReg, element_at(split(col("p.margin"), "/"), 2).cast("long"))
+          .as("margin_denominator"),
+        col("p.cost.ada.lovelace").as("cost"),
+        when(isReg, unhex(col("p.metadata.hash"))).as("metadata_hash"),
+        when(isReg, col("p.metadata.url")).as("metadata_url"),
+        col("p.retirementEpoch").as("retirement_epoch"))
+  }
+
+  /** Constitutional-committee certs (/root/reference/ogmios_parquet.py:445-466). */
+  def certCc(parsed: DataFrame): DataFrame =
+    certs(parsed)
+      .filter(col("c.type").isin(
+        "constitutionalCommitteeDelegation", "constitutionalCommitteeRetirement"))
+      .select(col("slot"), col("tx_id"), col("c.type").as("type"),
+        unhex(col("c.member.id")).as("member_id"),
+        when(col("c.type") === "constitutionalCommitteeDelegation",
+          unhex(col("c.delegate.id"))).as("delegate_id"),
+        unhex(col("c.metadata.hash")).as("metadata_hash"),
+        col("c.metadata.url").as("metadata_url"))
+
+  /** DRep certs (/root/reference/ogmios_parquet.py:468-486). */
+  def certDrep(parsed: DataFrame): DataFrame =
+    certs(parsed)
+      .filter(col("c.type").isin(
+        "delegateRepresentativeRegistration", "delegateRepresentativeUpdate",
+        "delegateRepresentativeRetirement"))
+      .select(col("slot"), col("tx_id"), col("c.type").as("type"),
+        unhex(col("c.delegateRepresentative.id")).as("drep_id"),
+        col("c.delegateRepresentative.from").as("drep_type"),
+        unhex(col("c.metadata.hash")).as("metadata_hash"),
+        col("c.metadata.url").as("metadata_url"))
+
+  /** All tables from one parsed relation (tx_raw excluded — disabled in
+    * the reference too, ogmios_parquet.py:693-695).
+    */
+  def allTables(parsed: DataFrame): Map[String, DataFrame] = Map(
+    "tx" -> tx(parsed), "utxo" -> utxo(parsed), "mint" -> mint(parsed),
+    "asset" -> asset(parsed), "datum" -> datum(parsed), "cert" -> cert(parsed),
+    "cert_stake" -> certStake(parsed), "cert_pool" -> certPool(parsed),
+    "cert_cc" -> certCc(parsed), "cert_drep" -> certDrep(parsed))
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.{CardanoWriter, Extract}
+
+/** Structured Streaming analogue of the reference's hand-rolled
+  * micro-batching chain-sync loop (/root/reference/ogmios_parquet.py:
+  * 574-818, SURVEY.md §2.9):
+  *
+  *  - source: any streaming DataFrame of block JSON (file source over a
+  *    landing directory, socket, or MemoryStream in tests) replaces the
+  *    WebSocket client + request pipelining (:671-675) — Spark manages
+  *    offsets/backpressure where the reference counts in-flight sends
+  *  - micro-batch: `foreachBatch` replaces the per-slot-group buffers
+  *    flushed every 20k slots (:748-767); each batch runs the SAME
+  *    batch extractors and appends slot-group partitions — exactly-once
+  *    bookkeeping comes from the checkpoint instead of manual cursors
+  *  - the merge+compress second phase (:523-571) disappears: every
+  *    append is already final columnar zstd
+  *
+  * Rollbacks: acknowledged-but-ignored in the reference (:813-814);
+  * same stance here — a production hardening would re-write the
+  * affected slot-group partitions idempotently.
+  */
+object StreamIngest {
+
+  /** Start the ingest stream: block JSON in `jsonCol` → 11 Cardano
+    * tables, slot-group-partition-appended under `baseDir`.
+    */
+  def start(blocks: DataFrame, baseDir: String, checkpointDir: String,
+      jsonCol: String = "json"): StreamingQuery =
+    blocks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one parse per batch, shared by the 10 table projections
+        val parsed = Extract.parse(batch, jsonCol).cache()
+        try
+          Extract.allTables(parsed).foreach { case (t, df) =>
+            CardanoWriter.write(df, baseDir, t, mode = "append")
+          }
+        finally parsed.unpersist()
+      }
+      .start()
+
+  /** Watermarked event-time rollup — the streaming twin of q16's batch
+    * time-bucketing: per-hour per-type counts/sums over a stream with
+    * event-time column `ts` (TimestampType), tolerating 1 hour of
+    * lateness before a bucket finalizes.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("bucket.start").as("bucket_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.Blake2b256
+import graft.ingest.{CardanoWriter, Extract}
+import graft.schema.Schemas
+
+/** Drives the ingest analogue over a hand-built two-block fixture chain
+  * covering every extractor family, and the slot-group-partitioned
+  * writer roundtrip with partition pruning.
+  */
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  import graft.ingest.Fixture
+  import Fixture.{hx, txA, txC, policy, datumHashHex, inlineDatumHex}
+  private val spent = Fixture.spentTx
+
+  private lazy val parsed =
+    Extract.parse(Fixture.blocks.toDF("json")).cache()
+
+  private def hex(bs: Array[Byte]): String = bs.map("%02x".format(_)).mkString
+
+  test("tx extraction: counts, flags, fee, nested inputs array") {
+    val rows = Extract.tx(parsed).orderBy("slot").collect()
+    assert(rows.length === 3)
+    val a = rows(0)
+    assert(hex(a.getAs[Array[Byte]]("tx_id")) === txA)
+    assert(a.getAs[Long]("tx_fee") === 500000L)
+    assert(a.getAs[Int]("input_count") === 1)
+    assert(a.getAs[Int]("output_count") === 3)
+    assert(a.getAs[Int]("redeemer_count") === 1)
+    assert(a.getAs[Int]("witness_datum_count") === 1)
+    assert(a.getAs[Boolean]("has_mint") && a.getAs[Boolean]("has_cert"))
+    assert(!a.getAs[Boolean]("has_withdrawal") && !a.getAs[Boolean]("has_vote"))
+    val inputs = a.getSeq[Row](a.fieldIndex("inputs"))
+    assert(inputs.length === 1)
+    assert(hex(inputs.head.getAs[Array[Byte]]("tx_id")) === spent)
+    assert(inputs.head.getAs[Int]("output_index") === 1)
+    // minimal tx: missing fee → 0, empty inputs array (not null)
+    val c = rows.find(r => hex(r.getAs[Array[Byte]]("tx_id")) === txC).get
+    assert(c.getAs[Long]("tx_fee") === 0L)
+    assert(c.getSeq[Row](c.fieldIndex("inputs")) !== null)
+  }
+
+  test("utxo extraction: per-output rows with token/datum/script flags") {
+    val rows = Extract.utxo(parsed)
+      .filter(hex(col("tx_id")) === txA).orderBy("output_index").collect()
+
+    assert(rows.length === 3)
+    assert(rows(0).getAs[Long]("lovelace") === 2000000L)
+    assert(!rows(0).getAs[Boolean]("has_token") && !rows(0).getAs[Boolean]("has_datum"))
+    assert(rows(1).getAs[Boolean]("has_token") && rows(1).getAs[Boolean]("has_datum"))
+    assert(rows(1).getAs[String]("address") === "addr1tok")
+    assert(rows(2).getAs[Boolean]("has_datum") && !rows(2).getAs[Boolean]("has_token"))
+  }
+
+  test("mint extraction: map flatten preserves signed burn quantities") {
+    val rows = Extract.mint(parsed).collect()
+      .map(r => (hex(r.getAs[Array[Byte]]("asset_name")), r.getAs[Long]("quantity")))
+      .toMap
+    assert(rows === Map("746f6b656e" -> 42L, "6275726e" -> -7L))
+  }
+
+  test("asset extraction: only non-ADA policies, address duplicated") {
+    val rows = Extract.asset(parsed).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(hex(r.getAs[Array[Byte]]("policy_id")) === policy)
+    assert(r.getAs[Long]("amount") === 42L)
+    assert(r.getAs[String]("address") === "addr1tok")
+    assert(r.getAs[Int]("output_index") === 1)
+  }
+
+  test("datum extraction: verbatim hash vs blake2b-256 of inline CBOR") {
+    val rows = Extract.datum(parsed).orderBy("output_index").collect()
+    assert(rows.length === 2)
+    assert(hex(rows(0).getAs[Array[Byte]]("datum_hash")) === datumHashHex)
+    assert(!rows(0).getAs[Boolean]("is_inline"))
+    assert(rows(0).getAs[Array[Byte]]("inline_datum") === null)
+    val expected = Blake2b256.digest(
+      inlineDatumHex.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray)
+    assert(hex(rows(1).getAs[Array[Byte]]("datum_hash")) === hex(expected))
+    assert(rows(1).getAs[Boolean]("is_inline"))
+  }
+
+  test("certificate extraction: base table plus all four family tables") {
+    assert(Extract.cert(parsed).count() === 4)
+
+    val st = Extract.certStake(parsed).collect()
+    assert(st.length === 1)
+    assert(st.head.getAs[String]("pool_id") === "pool1abc")
+    assert(st.head.getAs[String]("drep_id") === "drep1xyz")
+    assert(hex(st.head.getAs[Array[Byte]]("credential")) === hx("11", 28))
+
+    val p = Extract.certPool(parsed).collect().head
+    assert(p.getAs[Long]("margin_numerator") === 3L)
+    assert(p.getAs[Long]("margin_denominator") === 100L)
+    assert(p.getAs[Long]("pledge") === 1000000L)
+    assert(p.getAs[String]("metadata_url") === "https://pool.example/m.json")
+
+    val cc = Extract.certCc(parsed).collect().head
+    assert(hex(cc.getAs[Array[Byte]]("member_id")) === hx("22", 28))
+    assert(hex(cc.getAs[Array[Byte]]("delegate_id")) === hx("33", 28))
+
+    val d = Extract.certDrep(parsed).collect().head
+    assert(d.getAs[String]("drep_type") === "verificationKey")
+    assert(d.getAs[String]("metadata_url") === "https://drep.example")
+  }
+
+  test("extracted frames conform to the declared Cardano schemas") {
+    Extract.allTables(parsed).foreach { case (name, df) =>
+      val declared = Schemas.cardanoTables(name)
+      assert(df.schema.fields.map(f => f.name -> f.dataType).toSeq ===
+        declared.fields.map(f => f.name -> f.dataType).toSeq, s"table $name")
+    }
+  }
+
+  test("slot-group partitioned write: layout, roundtrip, partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cardano").toString
+    CardanoWriter.write(Extract.tx(parsed), dir, "tx")
+    val groups = new java.io.File(s"$dir/tx").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(groups.toSeq === Seq("slot_group=0", "slot_group=200000"))
+
+    val back = CardanoWriter.read(spark, dir, "tx")
+    assert(back.count() === 3)
+
+    // slot range entirely inside the second group: the scan must only
+    // touch that partition's files
+    val pruned = CardanoWriter.readSlotRange(spark, dir, "tx",
+      minSlot = Some(240000L), maxSlot = None)
+    assert(pruned.count() === 2)
+    // inspect the physical scan: only the second group's files selected
+    val scanned: Seq[String] =
+      pruned.queryExecution.executedPlan.collectLeaves().flatMap {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+        case _ => Seq.empty
+      }
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(_.contains("slot_group=200000")), scanned.mkString(","))
+  }
+
+  private def hex(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(org.apache.spark.sql.functions.hex(c))
+}

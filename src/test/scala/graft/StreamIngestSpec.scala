@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Fixture
+import graft.streaming.StreamIngest
+
+/** Drives the Structured Streaming ingest end-to-end with a
+  * MemoryStream source: two micro-batches of block JSON → slot-group
+  * partitioned Cardano tables on disk; and the watermarked hourly
+  * rollup against a bounded event stream.
+  */
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest writes all tables across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+    source.addData(Fixture.block1)
+    source.addData(Fixture.block2)
+    val q = StreamIngest.start(source.toDF().toDF("json"), base, ckpt)
+    q.awaitTermination(120000) // AvailableNow: terminates when drained
+    assert(!q.isActive)
+
+    Fixture.expectedCounts.foreach { case (t, n) =>
+      val df = spark.read.parquet(s"$base/$t")
+      assert(df.count() === n, s"table $t")
+    }
+    // slot-group partitioning materialized on disk
+    val txGroups = new java.io.File(s"$base/tx").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(txGroups.toSeq === Seq("slot_group=0", "slot_group=200000"))
+  }
+
+  test("watermarked hourly rollup aggregates a bounded stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val rollup = StreamIngest.hourlyRollup(
+      source.toDF().toDF("ts", "event_type", "value"))
+
+    val q = rollup.writeStream
+      .format("memory").queryName("rollup_sink").outputMode("complete")
+      .start()
+    source.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("rollup_sink")
+      .select(col("bucket_start").cast("string"), col("event_type"), col("cnt"),
+        col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00", "view", 1L, 5.0)))
+  }
+}
