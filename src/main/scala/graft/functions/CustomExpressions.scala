@@ -229,5 +229,51 @@ object CustomFunctions {
       "minhash128", exprs => MinHashAgg(exprs.head, 128), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHashAgg(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
   }
+}
+
+/** Strict left-to-right dot product of two array<double> columns —
+  * the inner loop of the embedding-similarity family. Identical
+  * summation order to `aggregate(zip_with(a, b, _*_), 0d, _+_)` (and to
+  * the oracle's `list_reduce` mirror), but codegen'd: the higher-order
+  * builtins evaluate their lambdas interpretively per element, which at
+  * N·k pair-dots dominates the ANN/near-dup queries; this stays inside
+  * whole-stage codegen with zero per-element allocation.
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "array_dot"
 }

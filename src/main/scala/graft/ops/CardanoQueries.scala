@@ -18,7 +18,9 @@ object CardanoQueries {
       .mkString("", " UNION ALL ", " ORDER BY tbl")
   ) { (spark, _) =>
     import spark.implicits._
-    val parsed = Extract.parse(Fixture.blocks.toDF("json"))
+    // one JSON parse shared by the ten per-table projections; the
+    // fixture is 2 rows, so a single partition avoids 10 fan-out jobs
+    val parsed = Extract.parse(Fixture.blocks.toDF("json").coalesce(1)).cache()
     Extract.allTables(parsed)
       .map { case (t, df) => df.groupBy(lit(t).as("tbl")).agg(count(lit(1)).as("n")) }
       .reduce(_ unionByName _)

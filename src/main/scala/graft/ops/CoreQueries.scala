@@ -327,25 +327,28 @@ object CoreQueries {
       .join(tu.select("tx_id").distinct(), col("o_orderkey") === col("tx_id"), "left_semi")
       .select("o_orderkey", "o_totalprice")
 
-    // each order's "inputs": outpoints of the same customer's previous order,
-    // materialized as the nested array-of-struct the Cardano tx schema carries
+    // each order's "inputs": outpoints of the same customer's previous
+    // order. The lag window only needs customers that have at least one
+    // relevant order — pruning its input before the window shuffle (the
+    // orders of everyone else can never produce a surviving row).
+    val relevantCust = orders
+      .join(relevant.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
+      .select("o_custkey").distinct()
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     val prev = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(relevantCust, Seq("o_custkey"), "left_semi")
       .withColumn("prev_ok", lag(col("o_orderkey"), 1).over(w))
       .select("o_orderkey", "prev_ok")
-    val inputsArr = prev
-      .join(relevant.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
-      .join(li, li("l_orderkey") === prev("prev_ok"))
-      .groupBy("o_orderkey")
-      .agg(collect_list(struct(col("prev_ok").as("tx_id"),
-        col("l_linenumber").as("output_index"))).as("inputs"))
 
-    // J2 + A3: explode inputs, resolve against token outputs on the
-    // composite outpoint key, canonicalize the consumed-address set
-    val inAddr = inputsArr
-      .select(col("o_orderkey"), explode(col("inputs")).as("in"))
-      .join(tu, col("in.tx_id") === tu("tx_id") &&
-        col("in.output_index") === tu("output_index"))
+    // J2 + A3: resolve the previous order's outpoints against token
+    // outputs on the composite key, canonicalize the consumed-address
+    // set. tu's outpoints are a subset of the previous order's lineitem
+    // rows, and collect_set is multiplicity-blind, so joining tu
+    // directly ≡ the oracle's explicit lineitem outpoint enumeration —
+    // minus one groupBy and one explode-join (two shuffles).
+    val inAddr = prev
+      .join(relevant.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
+      .join(tu, tu("tx_id") === col("prev_ok"))
       .groupBy("o_orderkey")
       .agg(array_join(sort_array(collect_set(col("address"))), ",").as("in_addrs"))
 

@@ -113,7 +113,8 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
-    val grams = wordTrigrams(table(spark, dir, "documents"))
+    // cached: the shingle relation feeds the size agg and both join sides
+    val grams = wordTrigrams(table(spark, dir, "documents")).cache()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val ga = grams.toDF("a", "ga")
     val gb = grams.toDF("b", "gb")
@@ -156,7 +157,9 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
-    val grams = wordTrigrams(table(spark, dir, "documents"))
+    // cached: signatures, candidate verification and set sizes all
+    // re-consume the shingle relation
+    val grams = wordTrigrams(table(spark, dir, "documents")).cache()
     val sigs = grams.groupBy("doc_id")
       .agg(call_function("minhash128", xxhash64(col("g"))).as("sig"))
     // banding: bucket key = hash of each band's r signature values

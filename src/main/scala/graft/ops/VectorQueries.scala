@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.io.Tables.table
+import graft.functions.CustomFunctions
 
 /** Embedding-similarity operator family over the `embeddings` table
   * (64-dim float vectors): brute-force cosine top-k as the exact
@@ -13,27 +14,26 @@ import graft.io.Tables.table
   * blocked nearest-neighbor near-dup detection.
   *
   * Determinism: vectors are cast float→double element-wise (exact), and
-  * every dot product / norm is a strict left fold (`functions.aggregate`)
-  * mirrored by DuckDB `list_reduce` in the oracles — identical IEEE
-  * operation order, so cosines match bit-for-bit with no rounding.
+  * every dot product is a strict left-to-right sum — the native
+  * codegen'd ArrayDot expression on the Spark side, `list_reduce` in
+  * the DuckDB oracles — identical IEEE operation order, so cosines
+  * match bit-for-bit with no rounding. Norms are computed ONCE per
+  * vector (a column, not per pair), and both engines derive the cosine
+  * as dot / (norm_a * norm_b) in the same expression shape.
   *
   * 100 TB posture: brute force is O(Q·N) and only right for a bounded
   * query set (s01); the LSH variant (s02) and the coarse-block
   * restriction (d05) are the patterns that bound all-pairs work at
   * scale — candidates share a bucket/block, everything else is pruned
-  * before any distance is computed.
+  * before any distance is computed. The per-pair inner loop is a
+  * whole-stage-codegen dot over two primitive arrays.
   */
 object VectorQueries {
 
-  /** Strict left-fold dot product over two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Codegen'd strict left fold — see graft.functions.ArrayDot. */
+  def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
-  /** Strict left-fold L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** DuckDB mirror of [[dot]]: list_reduce left fold over the zipped
     * element products (list_zip entries are structs, fields 1-indexed).
@@ -46,13 +46,20 @@ object VectorQueries {
     s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform($a, x -> x * x)), (s, x) -> s + x))"
 
-  private def cosSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
-
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  /** Vectors with their norm precomputed once — the join sides reuse it
+    * so no norm is ever recomputed per candidate pair.
+    */
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    CustomFunctions.register(spark)
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+  }
+
+  private val vectorsCte: String =
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |  ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings)""".stripMargin
 
   /** The query set for the ANN ops: a bounded, data-independent id range
     * (a real pipeline would broadcast its query batch the same way).
@@ -67,10 +74,10 @@ object VectorQueries {
   // shuffle, keyed by query).
   // ---------------------------------------------------------------------
   val s01 = Q("s01_ann_brute_topk",
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $numQueries),
+    s"""WITH $vectorsCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < $numQueries),
        |pairs AS (
-       |  SELECT q.qid, e.vec_id, ${cosSql("q.qv", "e.v")} AS cos
+       |  SELECT q.qid, e.vec_id, ${dotSql("q.qv", "e.v")} / (q.qn * e.nrm) AS cos
        |  FROM q, e WHERE e.vec_id <> q.qid),
        |ranked AS (
        |  SELECT qid, vec_id, cos, row_number() OVER (
@@ -81,10 +88,11 @@ object VectorQueries {
   ) { (spark, dir) =>
     val e = vectors(spark, dir)
     val q = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     broadcast(q).join(e, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("qid"), col("rank").cast("long").as("rank"),
@@ -98,8 +106,8 @@ object VectorQueries {
   // the corpus), then ranked. The approximate scale path for s01 — at
   // 100 TB the bucket id is the shuffle/partition key and each bucket is
   // processed independently. Hyperplanes are seeded constants (planes
-  // aren't expressible to the SQL oracle → rows-only; VectorSpec pins
-  // recall against s01's exact answer).
+  // aren't expressible to the SQL oracle → rows-only; OperatorsSpec pins
+  // bucket consistency and dominance against s01's exact answer).
   // ---------------------------------------------------------------------
   private val numPlanes = 6
   lazy val planes: Array[Array[Double]] = {
@@ -115,11 +123,13 @@ object VectorQueries {
   val s02 = Q.noOracle("s02_ann_lsh_bucketed") { (spark, dir) =>
     val e = vectors(spark, dir).withColumn("bucket", bucketOf(col("v")))
     val qb = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     broadcast(qb).join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank").cast("long").as("rank"),
@@ -136,9 +146,10 @@ object VectorQueries {
   val neardupThreshold = 0.4
 
   val d05 = Q("d05_embed_neardup",
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH $vectorsCte,
        |pairs AS (
-       |  SELECT a.vec_id, a.label, b.vec_id AS nn, ${cosSql("a.v", "b.v")} AS cos
+       |  SELECT a.vec_id, a.label, b.vec_id AS nn,
+       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
        |ranked AS (
        |  SELECT vec_id, label, nn, cos, row_number() OVER (
@@ -149,12 +160,12 @@ object VectorQueries {
        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
   ) { (spark, dir) =>
     val e = vectors(spark, dir)
-    val a = e.toDF("vec_id", "label", "v")
-    val b = e.toDF("nn", "label_b", "bv")
+    val a = e.toDF("vec_id", "label", "v", "nrm")
+    val b = e.toDF("nn", "label_b", "bv", "bnrm")
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn"))
     a.join(b, col("label") === col("label_b") && col("vec_id") =!= col("nn"))
       .select(col("vec_id"), col("label"), col("nn"),
-        cosine(col("v"), col("bv")).as("cos"))
+        (dot(col("v"), col("bv")) / (col("nrm") * col("bnrm"))).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("nn").as("nn_id"),
