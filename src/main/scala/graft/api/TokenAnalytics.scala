@@ -1,0 +1,135 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions.rangeFilter
+
+/** The user-facing analytics API over the Cardano tables — the
+  * capability surface of the reference's `TokenFeeAnalyzer` and
+  * `main.py query` CLI, re-expressed as DataFrame programs over tables
+  * produced by `graft.ingest` (or any parquet with the same schemas).
+  *
+  * Where the reference builds SQL strings over DuckDB views
+  * (/root/reference/token_fee_analysis.py:107-252, main.py:21-65), each
+  * step here is a composable DataFrame: Catalyst pushes the token
+  * predicate and column pruning into the asset scan (the reference's
+  * manual "temp view with only the required columns" optimization,
+  * :142-151, is automatic), and slot predicates prune slot-group
+  * partitions before any I/O.
+  */
+object TokenAnalytics {
+
+  /** Summary statistics of `analyzeTokenFees` — the reference's result
+    * dict (/root/reference/token_fee_analysis.py:330-343).
+    */
+  final case class TokenFeeStats(
+      totalTransactions: Long,
+      totalFeesLovelace: Long,
+      avgFeeLovelace: Double,
+      minSlot: Option[Long],
+      maxSlot: Option[Long])
+
+  /** UTxOs holding the given token, optionally slot-bounded — the
+    * pre-filtered projection of token_fee_analysis.py:107-152. Note the
+    * reference renders an empty asset name as `= NULL` (matches
+    * nothing, :131); we expose the sane isNull semantics via
+    * `assetName = None` and document the quirk (SURVEY.md §2.2 P6).
+    */
+  def tokenUtxos(asset: DataFrame, policyIdHex: String,
+      assetNameHex: Option[String], minSlot: Option[Long] = None,
+      maxSlot: Option[Long] = None): DataFrame = {
+    val assetPred = assetNameHex match {
+      case Some(hex) => col("asset_name") === unhex(lit(hex))
+      case None => col("asset_name").isNull
+    }
+    asset
+      .filter(col("policy_id") === unhex(lit(policyIdHex)) && assetPred &&
+        rangeFilter(col("slot"), minSlot.map(lit(_)), maxSlot.map(lit(_))))
+      .select("tx_id", "output_index", "address")
+  }
+
+  /** The flagship: transactions whose sorted-distinct token-holding
+    * input address set differs (null-safely) from the output address
+    * set — token ownership changes
+    * (/root/reference/token_fee_analysis.py:154-261).
+    *
+    * Output: (slot, tx_id, tx_fee, input_addr_set, output_addr_set),
+    * slot-ascending. The token-UTxO side is broadcast when small (the
+    * usual case for a single asset) — at 100 TB the tx scan streams
+    * against it without a full shuffle.
+    */
+  def findTokenTransfers(tx: DataFrame, asset: DataFrame,
+      policyIdHex: String, assetNameHex: Option[String],
+      minSlot: Option[Long] = None, maxSlot: Option[Long] = None): DataFrame = {
+    val tu = tokenUtxos(asset, policyIdHex, assetNameHex, minSlot, maxSlot)
+
+    // relevant_txs: txs that created a token output (IN-subquery ≡ semi join)
+    val relevant = tx
+      .join(broadcast(tu.select("tx_id").distinct()), Seq("tx_id"), "left_semi")
+      .select("slot", "tx_id", "tx_fee", "inputs")
+
+    // input_addresses: UNNEST(inputs) resolved against token UTxOs on the
+    // composite outpoint key, canonicalized to a sorted-distinct set,
+    // grouped by the CONSUMING tx (in.tx_id is the spent outpoint's tx)
+    val inAddr = relevant
+      .select(col("tx_id").as("consumer_tx"), explode(col("inputs")).as("in"))
+      .join(broadcast(tu),
+        col("in.tx_id") === tu("tx_id") &&
+          col("in.output_index") === tu("output_index"))
+      .groupBy("consumer_tx")
+      .agg(sort_array(collect_set(col("address"))).as("input_addr_set"))
+      .withColumnRenamed("consumer_tx", "tx_id")
+
+    val outAddr = tu.groupBy("tx_id")
+      .agg(sort_array(collect_set(col("address"))).as("output_addr_set"))
+
+    relevant
+      .join(inAddr, Seq("tx_id"), "left")
+      .join(outAddr, Seq("tx_id"), "left")
+      .filter(!(col("input_addr_set") <=> col("output_addr_set")))
+      .select("slot", "tx_id", "tx_fee", "input_addr_set", "output_addr_set")
+      .orderBy(col("slot").asc)
+  }
+
+  /** Fee statistics over the transfers — the pandas post-aggregation
+    * (/root/reference/token_fee_analysis.py:310-329) folded into one
+    * distributed agg; only the 5 scalars reach the driver.
+    */
+  def analyzeTokenFees(tx: DataFrame, asset: DataFrame, policyIdHex: String,
+      assetNameHex: Option[String], minSlot: Option[Long] = None,
+      maxSlot: Option[Long] = None): TokenFeeStats = {
+    val transfers = findTokenTransfers(tx, asset, policyIdHex, assetNameHex,
+      minSlot, maxSlot)
+    val row = transfers.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum("tx_fee"), lit(0L)).as("total"),
+      avg("tx_fee").as("avg"),
+      min("slot").as("minSlot"),
+      max("slot").as("maxSlot")).collect()(0)
+    TokenFeeStats(
+      totalTransactions = row.getAs[Long]("n"),
+      totalFeesLovelace = row.getAs[Long]("total"),
+      avgFeeLovelace = if (row.isNullAt(2)) 0.0 else row.getAs[Double]("avg"),
+      minSlot = if (row.isNullAt(3)) None else Some(row.getAs[Long]("minSlot")),
+      maxSlot = if (row.isNullAt(4)) None else Some(row.getAs[Long]("maxSlot")))
+  }
+
+  /** `main.py query` part 1: top-K transactions by fee above a threshold
+    * (/root/reference/main.py:24-38), with a deterministic tiebreak.
+    */
+  def highFeeTransactions(tx: DataFrame, minFeeLovelace: Long = 2000000L,
+      k: Int = 100): DataFrame =
+    tx.filter(col("tx_fee") > minFeeLovelace)
+      .select("slot", "tx_id", "tx_fee", "input_count", "output_count")
+      .orderBy(col("tx_fee").desc, col("slot").asc, col("tx_id").asc)
+      .limit(k)
+
+  /** `main.py query` part 2: the 4-way ungrouped fee aggregate
+    * (/root/reference/main.py:45-57).
+    */
+  def feeStatistics(tx: DataFrame, minFeeLovelace: Long = 2000000L): DataFrame =
+    tx.filter(col("tx_fee") > minFeeLovelace)
+      .agg(count(lit(1)).as("count"), avg("tx_fee").as("avg_fee"),
+        max("tx_fee").as("max_fee"), min("tx_fee").as("min_fee"))
+}

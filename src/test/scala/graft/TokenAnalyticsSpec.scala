@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.api.TokenAnalytics
+import graft.ingest.{Extract, Fixture}
+
+/** Drives the user-facing token-transfer analysis over an extracted
+  * chain with a real ownership story:
+  *
+  *   txA mints the token to addr1tok           → kept (mint: NULL ≠ set)
+  *   txD spends (txA,1), sends to addr1new     → kept (ownership change)
+  *   txE spends (txD,0), back to addr1new      → dropped (same owner)
+  */
+class TokenAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+  import Fixture.{hx, policy, txA}
+
+  private val txD = hx("d0", 32)
+  private val txE = hx("e0", 32)
+  private val tokenHex = "746f6b656e"
+
+  private val block3 =
+    s"""{"slot": 300, "id": "${hx("03", 32)}", "transactions": [
+       |  {"id": "$txD", "fee": {"ada": {"lovelace": 200000}},
+       |   "inputs": [{"transaction": {"id": "$txA"}, "index": 1}],
+       |   "outputs": [{"address": "addr1new",
+       |     "value": {"ada": {"lovelace": 1400000}, "$policy": {"$tokenHex": 42}}}]}
+       |]}""".stripMargin.replaceAll("\n", " ")
+
+  private val block4 =
+    s"""{"slot": 400, "id": "${hx("04", 32)}", "transactions": [
+       |  {"id": "$txE", "fee": {"ada": {"lovelace": 180000}},
+       |   "inputs": [{"transaction": {"id": "$txD"}, "index": 0}],
+       |   "outputs": [{"address": "addr1new",
+       |     "value": {"ada": {"lovelace": 1200000}, "$policy": {"$tokenHex": 42}}}]}
+       |]}""".stripMargin.replaceAll("\n", " ")
+
+  private lazy val parsed =
+    Extract.parse((Fixture.blocks ++ Seq(block3, block4)).toDF("json")).cache()
+  private lazy val tx = Extract.tx(parsed)
+  private lazy val asset = Extract.asset(parsed)
+
+  private def hex(bs: Array[Byte]): String = bs.map("%02x".format(_)).mkString
+
+  test("findTokenTransfers keeps mints and ownership changes, drops same-owner moves") {
+    val rows = TokenAnalytics
+      .findTokenTransfers(tx, asset, policy, Some(tokenHex))
+      .collect()
+    val byTx = rows.map(r => hex(r.getAs[Array[Byte]]("tx_id")) -> r).toMap
+
+    assert(byTx.keySet === Set(txA, txD))
+    // mint: no token inputs → NULL input set, kept by IS DISTINCT FROM
+    assert(byTx(txA).isNullAt(byTx(txA).fieldIndex("input_addr_set")))
+    assert(byTx(txA).getSeq[String](byTx(txA).fieldIndex("output_addr_set"))
+      === Seq("addr1tok"))
+    // transfer: addr1tok → addr1new
+    assert(byTx(txD).getSeq[String](byTx(txD).fieldIndex("input_addr_set"))
+      === Seq("addr1tok"))
+    assert(byTx(txD).getSeq[String](byTx(txD).fieldIndex("output_addr_set"))
+      === Seq("addr1new"))
+    // slot-ascending order
+    assert(rows.map(_.getAs[Long]("slot")).toSeq === rows.map(_.getAs[Long]("slot")).sorted.toSeq)
+  }
+
+  test("slot range filter prunes transfers") {
+    val rows = TokenAnalytics
+      .findTokenTransfers(tx, asset, policy, Some(tokenHex),
+        minSlot = Some(200L), maxSlot = Some(350L))
+      .collect()
+    assert(rows.length === 1)
+    assert(hex(rows.head.getAs[Array[Byte]]("tx_id")) === txD)
+    // with only (txD,0,addr1new) in range, txD's input outpoint (txA,1)
+    // no longer resolves → NULL input set vs [addr1new]
+    assert(rows.head.isNullAt(rows.head.fieldIndex("input_addr_set")))
+  }
+
+  test("analyzeTokenFees folds the pandas post-stats into one agg") {
+    val stats = TokenAnalytics.analyzeTokenFees(tx, asset, policy, Some(tokenHex))
+    assert(stats.totalTransactions === 2)
+    assert(stats.totalFeesLovelace === 700000L) // 500000 (txA) + 200000 (txD)
+    assert(stats.avgFeeLovelace === 350000.0)
+    assert(stats.minSlot === Some(100L))
+    assert(stats.maxSlot === Some(300L))
+  }
+
+  test("analyzeTokenFees on a token with no UTxOs returns the empty stats") {
+    val stats = TokenAnalytics.analyzeTokenFees(tx, asset, hx("99", 28), Some("00"))
+    assert(stats === TokenAnalytics.TokenFeeStats(0L, 0L, 0.0, None, None))
+  }
+
+  test("highFeeTransactions and feeStatistics mirror the main.py query") {
+    val top = TokenAnalytics.highFeeTransactions(tx, minFeeLovelace = 150000L, k = 2)
+      .collect()
+    assert(top.map(_.getAs[Long]("tx_fee")).toSeq === Seq(500000L, 200000L))
+    val s = TokenAnalytics.feeStatistics(tx, minFeeLovelace = 150000L).collect()(0)
+    assert(s.getAs[Long]("count") === 4L) // txA, txB, txD, txE
+    assert(s.getAs[Long]("max_fee") === 500000L)
+    assert(s.getAs[Long]("min_fee") === 170000L)
+  }
+}
