@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CardanoQueries, CoreQueries, DedupQueries, MultimodalQueries, TextQueries, VectorQueries}
+import graft.ops.{CardanoQueries, CoreQueries, DedupQueries, ExtendedQueries, MultimodalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -12,8 +12,9 @@ import graft.ops.{CardanoQueries, CoreQueries, DedupQueries, MultimodalQueries, 
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      VectorQueries.all ++ MultimodalQueries.all ++ CardanoQueries.all
+    CoreQueries.all ++ ExtendedQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ VectorQueries.all ++ MultimodalQueries.all ++
+      CardanoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full token-transfer CTE pipeline shape

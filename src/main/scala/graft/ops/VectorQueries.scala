@@ -174,5 +174,49 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, d05)
+  // ---------------------------------------------------------------------
+  // s03 — IVF-style ANN: 16 seeded "centroids" partition the corpus into
+  // inverted lists (cell = argmax centroid dot); a query probes its two
+  // nearest cells and ranks only their members. The k-means-cell pattern
+  // of production vector indexes: at 100 TB the cell id is the partition
+  // key, each inverted list is scanned independently, and probe count
+  // trades recall for work. Centroids are seeded constants → rows-only;
+  // OperatorsSpec pins cell consistency and dominance vs s01.
+  // ---------------------------------------------------------------------
+  private val numCells = 16
+  lazy val centroids: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(numCells)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** (dot, cellId) structs for every centroid, descending-sorted so
+    * element 1 is the best cell, element 2 the second probe.
+    */
+  private def cellRanking(v: Column): Column =
+    sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(v, typedLit(c.toSeq)).as("d"), lit(i).as("i"))
+    }: _*), asc = false)
+
+  def cellOf(v: Column): Column = element_at(cellRanking(v), 1).getField("i")
+
+  val s03 = Q.noOracle("s03_ann_ivf_probed") { (spark, dir) =>
+    val e = vectors(spark, dir).withColumn("cell", cellOf(col("v")))
+    val q = vectors(spark, dir).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        element_at(cellRanking(col("v")), 1).getField("i").as("cell1"),
+        element_at(cellRanking(col("v")), 2).getField("i").as("cell2"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q)
+      .join(e, col("cell") === col("cell1") || col("cell") === col("cell2"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, d05)
 }
