@@ -58,15 +58,20 @@ object MultimodalQueries {
   // Oracle re-derives the same metadata arithmetically in DuckDB.
   // ---------------------------------------------------------------------
   val m01 = Q("m01_media_decode",
-    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
-      |  16 + octet_length(encode(text)) % 64 AS width,
-      |  16 + (octet_length(encode(text)) * 7) % 64 AS height,
-      |  1 + octet_length(encode(text)) % 8 AS n_frames,
-      |  md5(text) AS frame_digest
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH dec AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |    16 + octet_length(encode(text)) % 64 AS width,
+      |    16 + (octet_length(encode(text)) * 7) % 64 AS height,
+      |    1 + octet_length(encode(text)) % 8 AS n_frames,
+      |    md5(text) AS frame_digest
+      |  FROM documents)
+      |SELECT doc_id, byte_len, width, height, n_frames, frame_digest,
+      |  (width * 224) // greatest(width, height) AS resized_w,
+      |  (height * 224) // greatest(width, height) AS resized_h
+      |FROM dec ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     import spark.implicits._
-    table(spark, dir, "documents")
+    val decoded = table(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaIn]
       .mapPartitions { it =>
@@ -74,6 +79,16 @@ object MultimodalQueries {
         it.map(m => fakeDecode(m, md))
       }
       .toDF()
+    // "resize": fit the decoded dims into 224×224 preserving aspect —
+    // pure metadata arithmetic downstream of the (stubbed) decode, the
+    // shape a real pipeline uses to plan the actual pixel resize.
+    // Exact integer floor division (`div` / DuckDB `//`): the double
+    // route floor(d * (224.0/max)) lands on 223.999... for 4% of dims.
+    decoded
+      .withColumn("resized_w",
+        expr("(width * 224) div greatest(width, height)"))
+      .withColumn("resized_h",
+        expr("(height * 224) div greatest(width, height)"))
       .orderBy("doc_id")
   }
 

@@ -59,4 +59,57 @@ object StreamIngest {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("bucket.start").as("bucket_start"), col("event_type"),
         col("cnt"), col("sum_value"))
+
+
+  /** Custom stateful streaming: gap-based sessionization per user via
+    * flatMapGroupsWithState — the KeyValueGroupedDataset custom-state
+    * path for semantics windowed aggs can't express (a session ends
+    * only when the event-time watermark passes last-event + gap).
+    * Emits one row per CLOSED session; open sessions live in the state
+    * store across micro-batches.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.count, s.last - s.start))
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq
+            val prev = state.getOption
+            val closed = prev match {
+              case Some(s) if times.nonEmpty && times.min > s.last + gapMs =>
+                // the new events start a fresh session; close the old one
+                Iterator(SessionOut(userId, s.count, s.last - s.start))
+              case _ => Iterator.empty
+            }
+            val base = prev.filter(s => times.isEmpty || times.min <= s.last + gapMs)
+            val next = times.foldLeft(base.getOrElse(
+              SessionState(0L, times.min, times.min))) { (s, t) =>
+              SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last + gapMs)
+            closed
+          }
+      }
+  }
 }
+
+/** One event of the sessionization stream. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+/** Open-session state held in the state store between micro-batches. */
+case class SessionState(count: Long, start: Long, last: Long)
+
+/** A closed session. */
+case class SessionOut(user_id: Long, n_events: Long, duration_ms: Long)

@@ -96,4 +96,13 @@ class OperatorsSpec extends SparkSpec {
     val expected = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(row.getString(5) === expected)
   }
+
+
+  test("m01 resize invariant: longest side exactly 224, aspect preserved") {
+    val m = graft.ops.MultimodalQueries.m01.fn(spark, sf)
+    val bad = m.filter(greatest(col("resized_w"), col("resized_h")) =!= 224 ||
+      least(col("resized_w"), col("resized_h")) > 224 ||
+      least(col("resized_w"), col("resized_h")) <= 0).count()
+    assert(bad === 0)
+  }
 }

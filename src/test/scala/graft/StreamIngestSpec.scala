@@ -63,4 +63,34 @@ class StreamIngestSpec extends SparkSpec {
       ("2024-01-01 10:00:00", "click", 2L, 3.0),
       ("2024-01-01 11:00:00", "view", 1L, 5.0)))
   }
+
+
+  test("flatMapGroupsWithState sessionization closes sessions on watermark") {
+    import graft.streaming.{SessionEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[SessionEvent]
+    val sessions = StreamIngest.sessionize(source.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = sessions.writeStream
+      .format("memory").queryName("session_sink").outputMode("append")
+      .start()
+
+    def ev(u: Long, t: String) = SessionEvent(u, Timestamp.valueOf(t), "e")
+    // two users active around 10:00
+    source.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:05:00"),
+      ev(2, "2024-01-01 10:00:00"))
+    q.processAllAvailable()
+    // a much later event pushes the watermark (13:00 - 10min) past both
+    // sessions' last+gap → they close and emit
+    source.addData(ev(3, "2024-01-01 13:00:00"))
+    q.processAllAvailable()
+    source.addData(ev(3, "2024-01-01 16:00:00")) // closes user 3's first session
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("session_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 2L, 5 * 60 * 1000L))) // 2 events, 5 min span
+    assert(got.contains((2L, 1L, 0L)))
+    assert(got.exists(_._1 == 3L))
+  }
 }
