@@ -51,6 +51,13 @@ object Functions {
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
+  /** µs-truncate a nanoseconds-since-epoch long: DuckDB reads parquet
+    * TIMESTAMP(NANOS) at microsecond precision, so every cross-engine
+    * comparison/order/bucket on the event-time axis must truncate
+    * (`epoch_ns(ts)` on the oracle side is already µs-truncated).
+    */
+  def tsUs(c: Column): Column = c - c % 1000L
+
   /** Exact decimal accumulator cast for order-independent, engine-exact
     * double aggregation (SURVEY.md §7.0 determinism rules): a double is
     * rounded to a fixed decimal scale (deterministic — both engines round

@@ -118,5 +118,62 @@ object ExtendedQueries {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20)
+  // ---------------------------------------------------------------------
+  // q21 — AS-OF JOIN (the operator family behind the reference's README
+  // community asks, /root/reference/README.md:130-145, and the classic
+  // "operator Spark lacks"): every event matched to the latest
+  // 'purchase' checkpoint of the same user at-or-before its timestamp.
+  //
+  // Spark-first realization: NO range join. Tag checkpoints (0) and
+  // probes (1), sort each user's merged timeline once, and forward-fill
+  // the checkpoint columns with last(ignoreNulls) over an unbounded
+  // preceding frame — two key-partitioned window shuffles and ZERO
+  // joins, linear in the timeline, vs the O(probes × checkpoints)
+  // nested-loop a range predicate would plan. Oracle: DuckDB's native ASOF LEFT JOIN.
+  // Event-time axis is µs-truncated on both sides (Functions.tsUs).
+  // Checkpoints are deduped per (user, ts) — ASOF is ambiguous under
+  // duplicate right timestamps.
+  // ---------------------------------------------------------------------
+  val q21 = Q("q21_asof_join",
+    """WITH ev AS (SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_us
+      |           FROM events),
+      |cp AS (SELECT user_id, ts_us, event_id AS cp_event_id, value AS cp_value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+      |  FROM ev WHERE event_type = 'purchase') t WHERE rn = 1)
+      |SELECT e.user_id, e.event_id, e.ts_us, cp.cp_event_id, cp.cp_value
+      |FROM ev e ASOF LEFT JOIN cp
+      |  ON e.user_id = cp.user_id AND e.ts_us >= cp.ts_us
+      |ORDER BY e.event_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Functions.tsUs
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        tsUs(col("ts")).as("ts_us"))
+    val dedup = Window.partitionBy("user_id", "ts_us").orderBy(col("event_id").desc)
+    val cp = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(dedup))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("cp_event_id"), col("value").as("cp_value"))
+    // merged timeline: checkpoints (tag 0) sort before probes (tag 1) at
+    // equal timestamps, matching ASOF's inclusive `>=`
+    val tagged = ev
+      .select(col("user_id"), col("ts_us"), lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("cp_event_id"),
+        lit(null).cast("double").as("cp_value"))
+      .unionByName(cp.select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("cp_event_id"), col("cp_value")))
+    val fill = Window.partitionBy("user_id").orderBy("ts_us", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_cp", last(col("cp_event_id"), ignoreNulls = true).over(fill))
+      .withColumn("asof_val", last(col("cp_value"), ignoreNulls = true).over(fill))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("asof_cp").as("cp_event_id"), col("asof_val").as("cp_value"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21)
 }
