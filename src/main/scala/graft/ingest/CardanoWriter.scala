@@ -34,6 +34,31 @@ object CardanoWriter {
       .partitionBy("slot_group")
       .parquet(s"$baseDir/$table")
 
+  /** Rollback/reorg remedy (the reference ignores rollbacks,
+    * ogmios_parquet.py:813-814): re-extract the affected slot range and
+    * overwrite ONLY the slot-group partitions present in `df`, leaving
+    * every other partition untouched — Spark's dynamic partition
+    * overwrite makes re-ingestion idempotent per slot group.
+    */
+  def overwriteSlotGroups(df: DataFrame, baseDir: String, table: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      df
+        .withColumn("slot_group", (col("slot") / SlotGroupSize).cast("long") * SlotGroupSize)
+        .repartition(col("slot_group"))
+        .write
+        .mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("slot_group")
+        .parquet(s"$baseDir/$table")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Read a table back; `slot_group` returns as a partition column and
     * slot_group predicates prune directories before any I/O.
     */

@@ -91,18 +91,31 @@ object TextQueries {
   // The filter threshold a pipeline would use is exposed as a flag.
   // ---------------------------------------------------------------------
   private val stop = langProfiles.head._2
+
+  /** The weighted quality score over a token array — shared by t02 and
+    * the corpus-cleaning pipeline (p01) so both compute the identical
+    * expression shape.
+    */
+  def qualityExpr(w: Column): Column =
+    (size(array_distinct(w)).cast("double") / size(w)) * 0.5 +
+      markerRatio(w, stop) * 0.3 +
+      when(size(w) >= 20, 1.0).otherwise(0.0) * 0.2
+
+  /** DuckDB mirror of [[qualityExpr]] over a list column named `w`. */
+  def qualitySqlExpr: String =
+    s"(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 " +
+      s"+ ${markerRatioSql(stop)} * 0.3 " +
+      s"+ (CASE WHEN len(w) >= 20 THEN 1.0 ELSE 0.0 END) * 0.2"
+
+  val qualityThreshold = 0.3
   val t02 = Q("t02_quality_score",
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w, len(text) AS n FROM documents)
        |SELECT doc_id, len(w) AS n_tokens,
        |  CAST(n - (len(w) - 1) AS DOUBLE) / len(w) AS mean_tok_len,
        |  ${markerRatioSql(stop)} AS stop_ratio,
        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
-       |  (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
-       |    + ${markerRatioSql(stop)} * 0.3
-       |    + (CASE WHEN len(w) >= 20 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
-       |  CASE WHEN ((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
-       |    + ${markerRatioSql(stop)} * 0.3
-       |    + (CASE WHEN len(w) >= 20 THEN 1.0 ELSE 0.0 END) * 0.2) >= 0.3
+       |  $qualitySqlExpr AS quality,
+       |  CASE WHEN ($qualitySqlExpr) >= $qualityThreshold
        |    THEN 1 ELSE 0 END AS keep
        |FROM toks ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
@@ -113,12 +126,11 @@ object TextQueries {
     val meanTokLen = (col("n") - (nTok - 1)).cast("double") / nTok
     val stopRatio = markerRatio(col("w"), stop)
     val distinctRatio = size(array_distinct(col("w"))).cast("double") / nTok
-    val quality = distinctRatio * 0.5 + stopRatio * 0.3 +
-      when(nTok >= 20, 1.0).otherwise(0.0) * 0.2
+    val quality = qualityExpr(col("w"))
     df.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
         meanTokLen.as("mean_tok_len"), stopRatio.as("stop_ratio"),
         distinctRatio.as("distinct_ratio"), quality.as("quality"),
-        when(quality >= 0.3, 1L).otherwise(0L).as("keep"))
+        when(quality >= qualityThreshold, 1L).otherwise(0L).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -179,5 +191,46 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04)
+  // ---------------------------------------------------------------------
+  // p01 — the corpus-cleaning pipeline flagship: the composition a
+  // training-data run actually executes — language filter → quality
+  // filter (t02's score) → exact dedup keeping the lowest doc_id (d01's
+  // groupBy) → cleaned corpus with per-survivor stats. Each stage is a
+  // narrow map or one hash shuffle; the whole pipeline is two shuffles
+  // (dedup groupBy + final ORDER BY) regardless of corpus size.
+  // ---------------------------------------------------------------------
+  val p01 = Q("p01_corpus_clean",
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents),
+       |kept AS (
+       |  SELECT doc_id, text, lang, $qualitySqlExpr AS quality
+       |  FROM toks
+       |  WHERE lang IN ('en', 'es') AND ($qualitySqlExpr) >= $qualityThreshold),
+       |dedup AS (
+       |  SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+       |    count(*) AS n_copies
+       |  FROM kept GROUP BY 1)
+       |SELECT k.doc_id, k.lang, k.quality, d.n_copies, d.content_hash
+       |FROM dedup d JOIN kept k ON k.doc_id = d.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        split(col("text"), " ").as("w"))
+    val kept = toks
+      .filter(col("lang").isin("en", "es") &&
+        qualityExpr(col("w")) >= qualityThreshold)
+      .select(col("doc_id"), col("text"), col("lang"),
+        qualityExpr(col("w")).as("quality"))
+    val dedup = kept
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    dedup
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_copies"),
+        col("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, p01)
 }

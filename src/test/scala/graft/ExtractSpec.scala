@@ -144,6 +144,21 @@ class ExtractSpec extends SparkSpec {
     assert(scanned.forall(_.contains("slot_group=200000")), scanned.mkString(","))
   }
 
+  test("overwriteSlotGroups replaces only the touched partitions (rollback remedy)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-reorg").toString
+    CardanoWriter.write(Extract.tx(parsed), dir, "tx") // groups 0 and 200000
+    // "reorg" of the second group: re-extract block2 with one tx dropped
+    val reparsed = Extract.parse(Seq(Fixture.block2).toDF("json"))
+    val fixed = Extract.tx(reparsed).filter(hex(col("tx_id")) === Fixture.txB)
+    CardanoWriter.overwriteSlotGroups(fixed, dir, "tx")
+    val back = CardanoWriter.read(spark, dir, "tx")
+    // group 0 untouched (1 tx), group 200000 rewritten (2 txs -> 1)
+    assert(back.filter(col("slot_group") === 0).count() === 1)
+    assert(back.filter(col("slot_group") === lit(200000)).count() === 1)
+    assert(back.count() === 2)
+  }
+
   private def hex(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     lower(org.apache.spark.sql.functions.hex(c))
 }
