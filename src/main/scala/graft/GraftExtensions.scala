@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SimHashAgg(exprs.head), classOf[SimHashAgg]))
     ext.injectFunction(fn("array_dot",
       exprs => ArrayDot(exprs(0), exprs(1)), classOf[ArrayDot]))
+    // slot predicates → slot_group partition pruning (SURVEY.md §4)
+    ext.injectOptimizerRule(_ =>
+      graft.plans.SlotGroupPruning(graft.ingest.CardanoWriter.SlotGroupSize))
   }
 }

@@ -40,4 +40,50 @@ class GraftExtensionsSpec extends SparkSpec {
       oldActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+
+  test("SlotGroupPruning derives partition pruning from bare slot predicates") {
+    import org.apache.spark.sql.functions.col
+    import graft.ingest.{CardanoWriter, Extract, Fixture}
+    import spark.implicits._
+    // slot-partitioned table on disk (groups 0 and 200000)
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    CardanoWriter.write(Extract.tx(Extract.parse(Fixture.blocks.toDF("json"))), dir, "tx")
+
+    val oldDefault = SparkSession.getDefaultSession
+    val oldActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      // filter ONLY on slot — no manual slot_group predicate
+      val pruned = s2.read.parquet(s"$dir/tx").filter(col("slot") >= 240000L)
+      assert(pruned.count() === 2)
+      val scanned = pruned.queryExecution.executedPlan.collectLeaves().flatMap {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+        case _ => Seq.empty
+      }
+      assert(scanned.nonEmpty)
+      assert(scanned.forall(_.contains("slot_group=200000")), scanned.mkString(","))
+
+      // control: the shared session (no extension) scans both groups
+      val unpruned = spark.read.parquet(s"$dir/tx").filter(col("slot") >= 240000L)
+      unpruned.count()
+      val all = unpruned.queryExecution.executedPlan.collectLeaves().flatMap {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+        case _ => Seq.empty
+      }
+      assert(all.exists(_.contains("slot_group=0")), "control should scan group 0")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      oldDefault.foreach(SparkSession.setDefaultSession)
+      oldActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
