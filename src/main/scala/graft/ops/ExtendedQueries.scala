@@ -175,5 +175,53 @@ object ExtendedQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21)
+  // ---------------------------------------------------------------------
+  // q22 — batch sessionization, the relational twin of the streaming
+  // flatMapGroupsWithState sessionize: a new session starts where the
+  // gap to the previous event exceeds 30 min; session id = running sum
+  // of session-start flags; then one aggregate per (user, session).
+  // The lag + cumulative-sum idiom is the single-shuffle batch plan —
+  // both windows and the final groupBy share the user_id partitioning.
+  // ---------------------------------------------------------------------
+  private val gapNs = 30L * 60L * 1000000000L
+
+  val q22 = Q("q22_sessionize_batch",
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, value, epoch_ns(ts) AS ts_us FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > $gapNs
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |sessions AS (
+       |  SELECT *, SUM(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM flagged)
+       |SELECT user_id, session_seq, COUNT(*) AS n_events,
+       |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       |  MAX(ts_us) - MIN(ts_us) AS duration_us,
+       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       |FROM sessions GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Functions.{dec, tsUs}
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        tsUs(col("ts")).as("ts_us"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(cum))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        (max("ts_us") - min("ts_us")).as("duration_us"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22)
 }
