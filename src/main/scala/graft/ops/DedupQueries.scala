@@ -61,7 +61,7 @@ object DedupQueries {
     * intersection; J = |∩| / (|A| + |B| − |∩|). Integer counts and one
     * double division — bit-identical across engines.
     */
-  private def exactJaccard(pairs: DataFrame, grams: DataFrame): DataFrame = {
+  def exactJaccard(pairs: DataFrame, grams: DataFrame): DataFrame = {
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val ga = grams.toDF("a", "ga")
     val gb = grams.toDF("b", "gb")
@@ -217,5 +217,41 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04)
+  // ---------------------------------------------------------------------
+  // d06 — prefix-filtered similarity join: the AllPairs/SSJoin scale
+  // optimization the plain inverted-index join (d02) documents as its
+  // 100 TB upgrade. Under ANY global total order on shingles, two sets
+  // with J(A,B) ≥ τ must share an element within their size-⌊(1−τ)|A|⌋+1
+  // prefixes — so the candidate join only indexes each document's
+  // prefix (a (1−τ) fraction of its shingles) instead of all of them,
+  // shrinking the inverted index and its candidate pairs by ~1/(1−τ)²
+  // at equal recall. Candidates are then exact-verified; the output is
+  // IDENTICAL to d02 (same oracle). The global order here is xxhash64
+  // (deterministic); hash ties/collisions only ever ADD candidates —
+  // both prefixes still contain the colliding key — never drop pairs.
+  // ---------------------------------------------------------------------
+  val jaccardThreshold = 0.8
+
+  val d06 = Q("d06_dedup_prefix_filter",
+    d02.oracle.get // provably the same answer as the exact join
+  ) { (spark, dir) =>
+    val grams = wordTrigrams(table(spark, dir, "documents")).cache()
+    val hashed = grams.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val prefixes = hashed
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .select(col("doc_id"),
+        explode(slice(col("hs"), lit(1),
+          (size(col("hs")) - ceil(size(col("hs")) * jaccardThreshold) + 1)
+            .cast("int"))).as("h"))
+    val candidates = prefixes.toDF("a", "ha")
+      .join(prefixes.toDF("b", "hb"),
+        col("ha") === col("hb") && col("a") < col("b"))
+      .select("a", "b").distinct()
+    exactJaccard(candidates, grams)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06)
 }

@@ -105,4 +105,14 @@ class OperatorsSpec extends SparkSpec {
       least(col("resized_w"), col("resized_h")) <= 0).count()
     assert(bad === 0)
   }
+
+
+  test("d06 prefix-filtered join output equals d02 exact join output") {
+    val exact = DedupQueries.d02.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefixed = DedupQueries.d06.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefixed === exact)
+    assert(exact.nonEmpty)
+  }
 }
