@@ -223,5 +223,48 @@ object ExtendedQueries {
       .orderBy("user_id", "session_seq")
   }
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22)
+  // ---------------------------------------------------------------------
+  // q23 — three-way join + grouped revenue top-k (the TPC-H Q3 shape):
+  // dimension filter broadcast against the fact chain, partial-agg
+  // revenue, TakeOrderedAndProject for the top 20. The canonical
+  // multi-table reporting plan: the only wide operations are the
+  // orders⋈lineitem shuffle and the 20-row ordered take.
+  // ---------------------------------------------------------------------
+  val q23 = Q("q23_top_revenue",
+    """SELECT l.l_orderkey,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l.l_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, l.l_orderkey LIMIT 20""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.Functions.dec
+    val cutoff = java.sql.Timestamp.valueOf("1995-03-15 00:00:00")
+    val c = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    broadcast(c)
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(dec(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23)
 }
