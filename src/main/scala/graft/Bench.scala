@@ -15,15 +15,23 @@ object Bench {
     // across scale factors, so this compiles every generated class once
     // and the timed pass below measures steady-state execution.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // Materialize via the noop sink, not count(): under a count Catalyst
+    // is free to drop the final global ORDER BY (and trailing projects),
+    // so count() under-measures the presentation sort every query pays
+    // in Verify. The noop write executes the full physical plan and
+    // discards rows at the sink.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try run(fn, warmDir) catch { case _: Throwable => () }
     }
     // best-of-2 per query: this host shows ±30% run-to-run noise, and
     // the min is the standard noise-robust steady-state estimator
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run(fn, sfDir) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

@@ -2,19 +2,28 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.api.TokenAnalytics
-import graft.ingest.{CardanoWriter, Extract}
+import graft.api.{Registry, TokenAnalytics}
+import graft.ingest.{CardanoWriter, ChainPoints, Extract}
+import graft.io.Tables
 
 /** CLI entry points — the analogue of the reference's `main.py`
   * (/root/reference/main.py:69-133):
   *
-  *   extract <blockJsonDir> <tablesDir>   one-shot batch ingestion:
-  *     every json/jsonl file under blockJsonDir (one block per line)
-  *     → the 11 slot-group-partitioned Cardano tables
+  *   extract <blockJsonDir> <tablesDir> [--from <preset|slot>] [--to <preset|slot>]
+  *     one-shot batch ingestion: every json/jsonl file under
+  *     blockJsonDir (one block per line) → the 11 slot-group-partitioned
+  *     Cardano tables. --from/--to bound the run by chain points —
+  *     a preset name (config.py:32-73, e.g. `last_byron`) or a bare
+  *     slot; start-exclusive / stop-inclusive, the find_intersection
+  *     cursor semantics (ogmios_parquet.py:635-651).
   *   query <tablesDir> [minFeeLovelace]   the high-fee report: top-100
   *     transactions by fee plus the 4-way fee aggregate
-  *   token <tablesDir> <policyIdHex> <assetNameHex> [minSlot] [maxSlot]
-  *     token ownership-transfer analysis + fee statistics
+  *   token <tablesDir> <name | policyIdHex assetNameHex> [minSlot] [maxSlot]
+  *         [--output <csvDir>]
+  *     token ownership-transfer analysis + fee statistics. The first
+  *     form resolves a well-known token name ("snek", "hosky") via the
+  *     curated registry (token_fee_analysis.py:283-307); --output saves
+  *     the detailed transfer frame as CSV (:346-350).
   */
 object Main {
 
@@ -31,16 +40,48 @@ object Main {
     spark
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
-    case "extract" :: blocksDir :: tablesDir :: Nil =>
-      val spark = session()
-      val raw = spark.read.text(blocksDir).toDF("json")
-      val parsed = Extract.parse(raw).cache()
-      Extract.allTables(parsed).foreach { case (t, df) =>
-        CardanoWriter.write(df, tablesDir, t)
-        println(s"wrote $t")
+  /** Split `--flag value` pairs from positional arguments. */
+  private def splitArgs(args: List[String]): (List[String], Map[String, String]) = {
+    @annotation.tailrec
+    def go(xs: List[String], pos: List[String],
+        flags: Map[String, String]): (List[String], Map[String, String]) =
+      xs match {
+        case f :: v :: t if f.startsWith("--") => go(t, pos, flags + (f.drop(2) -> v))
+        case x :: t => go(t, pos :+ x, flags)
+        case Nil => (pos, flags)
       }
-      spark.stop()
+    go(args, Nil, Map.empty)
+  }
+
+  private def cursor(flags: Map[String, String], key: String): Option[ChainPoints.ChainPoint] =
+    flags.get(key).map { v =>
+      ChainPoints.resolve(v).getOrElse {
+        System.err.println(s"unknown chain point '$v' — presets: " +
+          ChainPoints.Presets.keys.toSeq.sorted.mkString(", "))
+        sys.exit(2)
+      }
+    }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "extract" :: rest =>
+      val (pos, flags) = splitArgs(rest)
+      pos match {
+        case blocksDir :: tablesDir :: Nil =>
+          val spark = session()
+          val from = cursor(flags, "from")
+          val to = cursor(flags, "to")
+          val raw = spark.read.text(blocksDir).toDF("json")
+          val parsed = Extract.parse(raw)
+            .filter(ChainPoints.slotBounds(from, to)(
+              org.apache.spark.sql.functions.col("slot")))
+            .cache()
+          Extract.allTables(parsed).foreach { case (t, df) =>
+            CardanoWriter.write(df, tablesDir, t)
+            println(s"wrote $t")
+          }
+          spark.stop()
+        case _ => usage()
+      }
 
     case "query" :: tablesDir :: rest if rest.length <= 1 =>
       val spark = session()
@@ -52,31 +93,54 @@ object Main {
       TokenAnalytics.feeStatistics(tx, minFee).show(truncate = false)
       spark.stop()
 
-    case "token" :: tablesDir :: policy :: asset :: rest if rest.length <= 2 =>
-      val spark = session()
-      val tx = CardanoWriter.read(spark, tablesDir, "tx")
-      val assetDf = CardanoWriter.read(spark, tablesDir, "asset")
-      val minSlot = rest.headOption.map(_.toLong)
-      val maxSlot = rest.drop(1).headOption.map(_.toLong)
-      val assetName = if (asset.isEmpty) None else Some(asset)
-      println("Ownership-changing transactions:")
-      TokenAnalytics
-        .findTokenTransfers(tx, assetDf, policy, assetName, minSlot, maxSlot)
-        .show(50, truncate = false)
-      val stats = TokenAnalytics
-        .analyzeTokenFees(tx, assetDf, policy, assetName, minSlot, maxSlot)
-      println(s"transactions=${stats.totalTransactions} " +
-        s"totalFeesLovelace=${stats.totalFeesLovelace} " +
-        s"avgFeeLovelace=${stats.avgFeeLovelace} " +
-        s"slotRange=${stats.minSlot.getOrElse(-1L)}..${stats.maxSlot.getOrElse(-1L)}")
-      spark.stop()
+    case "token" :: rest =>
+      val (pos, flags) = splitArgs(rest)
+      // <tablesDir> then either <name> or <policyHex> <assetHex>, then
+      // optional numeric [minSlot] [maxSlot]
+      val resolved = pos match {
+        case tablesDir :: name :: tail if Registry.tokenInfo(name).isDefined =>
+          val t = Registry.tokenInfo(name).get
+          Some((tablesDir, t.policyIdHex, Some(t.assetNameHex), tail))
+        case tablesDir :: policy :: asset :: tail if policy.toLongOption.isEmpty =>
+          Some((tablesDir, policy,
+            if (asset.isEmpty) None else Some(asset), tail))
+        case _ => None
+      }
+      resolved match {
+        case Some((tablesDir, policy, assetName, tail))
+            if tail.length <= 2 && tail.forall(_.toLongOption.isDefined) =>
+          val spark = session()
+          val tx = CardanoWriter.read(spark, tablesDir, "tx")
+          val assetDf = CardanoWriter.read(spark, tablesDir, "asset")
+          val minSlot = tail.headOption.map(_.toLong)
+          val maxSlot = tail.drop(1).headOption.map(_.toLong)
+          val transfers = TokenAnalytics
+            .findTokenTransfers(tx, assetDf, policy, assetName, minSlot, maxSlot)
+            .cache()
+          println("Ownership-changing transactions:")
+          TokenAnalytics.transfersForCsv(transfers).show(50, truncate = false)
+          flags.get("output").foreach { out =>
+            Tables.writeCsv(TokenAnalytics.transfersForCsv(transfers), out)
+            println(s"Detailed results saved to $out")
+          }
+          val stats = TokenAnalytics.feeStats(transfers)
+          println(s"transactions=${stats.totalTransactions} " +
+            s"totalFeesLovelace=${stats.totalFeesLovelace} " +
+            s"avgFeeLovelace=${stats.avgFeeLovelace} " +
+            s"slotRange=${stats.minSlot.getOrElse(-1L)}..${stats.maxSlot.getOrElse(-1L)}")
+          spark.stop()
+        case _ => usage()
+      }
 
-    case _ =>
-      System.err.println(
-        """usage:
-          |  graft.Main extract <blockJsonDir> <tablesDir>
-          |  graft.Main query <tablesDir> [minFeeLovelace]
-          |  graft.Main token <tablesDir> <policyIdHex> <assetNameHex> [minSlot] [maxSlot]""".stripMargin)
-      sys.exit(2)
+    case _ => usage()
+  }
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage:
+        |  graft.Main extract <blockJsonDir> <tablesDir> [--from <preset|slot>] [--to <preset|slot>]
+        |  graft.Main query <tablesDir> [minFeeLovelace]
+        |  graft.Main token <tablesDir> <name | policyIdHex assetNameHex> [minSlot] [maxSlot] [--output <csvDir>]""".stripMargin)
+    sys.exit(2)
   }
 }

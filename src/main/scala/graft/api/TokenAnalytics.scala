@@ -98,9 +98,15 @@ object TokenAnalytics {
     */
   def analyzeTokenFees(tx: DataFrame, asset: DataFrame, policyIdHex: String,
       assetNameHex: Option[String], minSlot: Option[Long] = None,
-      maxSlot: Option[Long] = None): TokenFeeStats = {
-    val transfers = findTokenTransfers(tx, asset, policyIdHex, assetNameHex,
-      minSlot, maxSlot)
+      maxSlot: Option[Long] = None): TokenFeeStats =
+    feeStats(findTokenTransfers(tx, asset, policyIdHex, assetNameHex,
+      minSlot, maxSlot))
+
+  /** The same statistics over an already-computed transfer frame (so a
+    * caller materializing transfers once — e.g. the CLI showing, CSV-ing
+    * AND summarizing them — doesn't recompute the pipeline).
+    */
+  def feeStats(transfers: DataFrame): TokenFeeStats = {
     val row = transfers.agg(
       count(lit(1)).as("n"),
       coalesce(sum("tx_fee"), lit(0L)).as("total"),
@@ -114,6 +120,40 @@ object TokenAnalytics {
       minSlot = if (row.isNullAt(3)) None else Some(row.getAs[Long]("minSlot")),
       maxSlot = if (row.isNullAt(4)) None else Some(row.getAs[Long]("maxSlot")))
   }
+
+  /** Name-based entry — the reference's `analyze_token_fees("hosky")`
+    * path (/root/reference/token_fee_analysis.py:283-307): resolve a
+    * well-known token name via the curated registry and run the
+    * transfer analysis. None when the name is unknown (the caller falls
+    * back to raw hex, where the reference raises).
+    */
+  def findTokenTransfersByName(tx: DataFrame, asset: DataFrame, name: String,
+      minSlot: Option[Long] = None, maxSlot: Option[Long] = None): Option[DataFrame] =
+    Registry.tokenInfo(name).map { t =>
+      findTokenTransfers(tx, asset, t.policyIdHex, Some(t.assetNameHex),
+        minSlot, maxSlot)
+    }
+
+  def analyzeTokenFeesByName(tx: DataFrame, asset: DataFrame, name: String,
+      minSlot: Option[Long] = None, maxSlot: Option[Long] = None): Option[TokenFeeStats] =
+    Registry.tokenInfo(name).map { t =>
+      analyzeTokenFees(tx, asset, t.policyIdHex, Some(t.assetNameHex),
+        minSlot, maxSlot)
+    }
+
+  /** CSV-friendly rendering of the transfer frame — the reference's
+    * `transfers.to_csv(...)` detail export
+    * (/root/reference/token_fee_analysis.py:346-350): binary tx_id →
+    * lower-case hex, address sets → ';'-joined strings (CSV has no
+    * array type), routed through the S7 sink (`Tables.writeCsv`).
+    */
+  def transfersForCsv(transfers: DataFrame): DataFrame =
+    transfers.select(
+      col("slot"),
+      lower(hex(col("tx_id"))).as("tx_id"),
+      col("tx_fee"),
+      concat_ws(";", col("input_addr_set")).as("input_addr_set"),
+      concat_ws(";", col("output_addr_set")).as("output_addr_set"))
 
   /** `main.py query` part 1: top-K transactions by fee above a threshold
     * (/root/reference/main.py:24-38), with a deterministic tiebreak.

@@ -59,6 +59,47 @@ object CardanoWriter {
     }
   }
 
+  /** Chain rollback: truncate a table to `slot <= rollbackSlot` — the
+    * storage-side half of handling a chain-sync RollBackward message
+    * (which the reference acknowledges and ignores,
+    * ogmios_parquet.py:813-814). Slot-group layout makes this cheap and
+    * local: partitions strictly above the boundary group are deleted
+    * whole (pure directory removal, no data read), and only the single
+    * boundary group is rewritten (read → filter → swap in). Re-ingesting
+    * the replacement chain afterwards is an ordinary append; replaying
+    * the same rollback is a no-op — idempotent per slot group.
+    */
+  def rollbackTo(spark: SparkSession, baseDir: String, table: String,
+      rollbackSlot: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$baseDir/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val boundary = Math.floorDiv(rollbackSlot, SlotGroupSize) * SlotGroupSize
+    val groups = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("slot_group="))
+          n.stripPrefix("slot_group=").toLongOption.map(_ -> p)
+        else None
+      }
+    // everything strictly above the boundary group rolls back entirely
+    groups.filter(_._1 > boundary).foreach { case (_, p) => fs.delete(p, true) }
+    // the boundary group keeps only rows at or before the rollback point
+    groups.find(_._1 == boundary).foreach { case (_, p) =>
+      val keep = spark.read.parquet(p.toString).filter(col("slot") <= rollbackSlot)
+      if (keep.isEmpty) fs.delete(p, true)
+      else {
+        // can't overwrite a path being lazily read — write aside, swap
+        val tmp = new Path(root, s".rollback_tmp_$boundary")
+        keep.write.mode("overwrite").option("compression", "zstd")
+          .parquet(tmp.toString)
+        fs.delete(p, true)
+        fs.rename(tmp, p)
+      }
+    }
+  }
+
   /** Read a table back; `slot_group` returns as a partition column and
     * slot_group predicates prune directories before any I/O.
     */

@@ -205,4 +205,11 @@ object Extract {
     "asset" -> asset(parsed), "datum" -> datum(parsed), "cert" -> cert(parsed),
     "cert_stake" -> certStake(parsed), "cert_pool" -> certPool(parsed),
     "cert_cc" -> certCc(parsed), "cert_drep" -> certDrep(parsed))
+
+  /** The table names `allTables` produces — for consumers that need the
+    * storage layout without a parsed batch in hand (e.g. rollback).
+    */
+  val tableNames: Seq[String] = Seq(
+    "tx", "utxo", "mint", "asset", "datum", "cert",
+    "cert_stake", "cert_pool", "cert_cc", "cert_drep")
 }

@@ -180,7 +180,7 @@ object TextQueries {
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
     val docs = table(spark, dir, "documents")
-    val gramFp = DedupQueries.wordTrigrams(docs)
+    val gramFp = DedupQueries.sharedGrams(spark, dir)
       .groupBy("doc_id")
       .agg(min(call_function("rolling_hash", col("g"))).as("min_gram_fp"),
         count(lit(1)).as("n_grams"))

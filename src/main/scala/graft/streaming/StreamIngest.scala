@@ -21,14 +21,22 @@ import graft.ingest.{CardanoWriter, Extract}
   *  - the merge+compress second phase (:523-571) disappears: every
   *    append is already final columnar zstd
   *
-  * Rollbacks: acknowledged-but-ignored in the reference (:813-814);
-  * same stance here — a production hardening would re-write the
-  * affected slot-group partitions idempotently.
+  * Rollbacks: the reference acknowledges-but-ignores RollBackward
+  * messages (:813-814); here they are HANDLED — a message of the form
+  * `{"rollback": {"slot": N}}` in the stream truncates every table to
+  * `slot <= N` via `CardanoWriter.rollbackTo` (whole slot groups above
+  * the boundary are dropped as directories; the boundary group is
+  * rewritten), after which the replacement chain appends normally.
+  * Chain-sync never interleaves old-chain blocks after a RollBackward,
+  * so within a micro-batch the rollback (the minimum point, if several)
+  * is applied FIRST and the batch's block rows are treated as the
+  * post-rollback chain.
   */
 object StreamIngest {
 
   /** Start the ingest stream: block JSON in `jsonCol` → 11 Cardano
-    * tables, slot-group-partition-appended under `baseDir`.
+    * tables, slot-group-partition-appended under `baseDir`; rollback
+    * messages truncate before the batch's blocks append.
     */
   def start(blocks: DataFrame, baseDir: String, checkpointDir: String,
       jsonCol: String = "json"): StreamingQuery =
@@ -37,8 +45,17 @@ object StreamIngest {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val rbSlot = get_json_object(col(jsonCol), "$.rollback.slot").cast("long")
+        val rb = batch.select(rbSlot.as("rb")).filter(col("rb").isNotNull)
+          .agg(min("rb")).collect()(0)
+        if (!rb.isNullAt(0)) {
+          val point = rb.getLong(0)
+          Extract.tableNames.foreach(t =>
+            CardanoWriter.rollbackTo(spark, baseDir, t, point))
+        }
         // one parse per batch, shared by the 10 table projections
-        val parsed = Extract.parse(batch, jsonCol).cache()
+        val parsed = Extract.parse(batch.filter(rbSlot.isNull), jsonCol).cache()
         try
           Extract.allTables(parsed).foreach { case (t, df) =>
             CardanoWriter.write(df, baseDir, t, mode = "append")
@@ -84,22 +101,34 @@ object StreamIngest {
             state.remove()
             Iterator(SessionOut(userId, s.count, s.last - s.start))
           } else {
-            val times = batch.map(_.ts.getTime).toSeq
-            val prev = state.getOption
-            val closed = prev match {
-              case Some(s) if times.nonEmpty && times.min > s.last + gapMs =>
-                // the new events start a fresh session; close the old one
-                Iterator(SessionOut(userId, s.count, s.last - s.start))
-              case _ => Iterator.empty
+            // sorted timeline = carried-over open session + this batch's
+            // events; SPLIT ON EVERY GAP, so several gap-separated
+            // sessions arriving in one micro-batch each close separately
+            // (matching the q22 batch twin), not lumped into one.
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            state.getOption.foreach(sessions += _)
+            times.foreach { t =>
+              sessions.lastOption match {
+                case Some(s) if t <= s.last + gapMs =>
+                  sessions(sessions.length - 1) =
+                    SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
+                case _ => sessions += SessionState(1L, t, t)
+              }
             }
-            val base = prev.filter(s => times.isEmpty || times.min <= s.last + gapMs)
-            val next = times.foldLeft(base.getOrElse(
-              SessionState(0L, times.min, times.min))) { (s, t) =>
-              SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
+            if (sessions.isEmpty) Iterator.empty
+            else {
+              // every session but the last is already gap-closed in-batch
+              val open = sessions.last
+              state.update(open)
+              // clamp: setTimeoutTimestamp throws if the target is at or
+              // before the current watermark (a late-but-within-watermark
+              // event can put last+gap behind it)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, open.last + gapMs))
+              sessions.init.iterator
+                .map(s => SessionOut(userId, s.count, s.last - s.start))
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.last + gapMs)
-            closed
           }
       }
   }

@@ -36,6 +36,22 @@ class ExtendedSpec extends SparkSpec {
     }
     val plainLeft = canon(skewed.join(right, Seq("k"), "left"))
     assert(canon(SkewJoin.saltedJoin(skewed, right, "k", 8, "left")) === plainLeft)
+    val plainSemi = canon(skewed.join(right, Seq("k"), "left_semi"))
+    assert(canon(SkewJoin.saltedJoin(skewed, right, "k", 8, "left_semi")) === plainSemi)
+    val plainAnti = canon(skewed.join(right, Seq("k"), "left_anti"))
+    assert(canon(SkewJoin.saltedJoin(skewed, right, "k", 8, "left_anti")) === plainAnti)
+  }
+
+  test("salted join rejects right-preserving join types and survives a __salt column") {
+    val l = Seq((1L, "x")).toDF("k", "lv")
+    val r = Seq((1L, "y")).toDF("k", "rv")
+    intercept[IllegalArgumentException](SkewJoin.saltedJoin(l, r, "k", 4, "right"))
+    intercept[IllegalArgumentException](SkewJoin.saltedJoin(l, r, "k", 4, "full_outer"))
+    // a pre-existing __salt column on either input must not collide
+    val lSalted = Seq((1L, "x", 7L)).toDF("k", "lv", "__salt")
+    val got = SkewJoin.saltedJoin(lSalted, r, "k", 4).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("__salt") === 7L) // user column untouched
   }
 
   test("s03 IVF: neighbors come from the query's probed cells; brute force dominates") {

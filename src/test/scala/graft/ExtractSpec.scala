@@ -23,6 +23,31 @@ class ExtractSpec extends SparkSpec {
 
   private def hex(bs: Array[Byte]): String = bs.map("%02x".format(_)).mkString
 
+  test("chain-point presets resolve and bound an extraction run") {
+    import graft.ingest.ChainPoints
+    // every reference preset is present (config.py:32-73) + origin
+    assert(ChainPoints.Presets.size === 11)
+    assert(ChainPoints.resolve("last_byron").get.slot === 4492799L)
+    assert(ChainPoints.resolve("LAST_BYRON").get.slot === 4492799L)
+    assert(ChainPoints.resolve("12345").get === ChainPoints.ChainPoint(12345L, ""))
+    assert(ChainPoints.resolve("nonsense") === None)
+
+    // find_intersection semantics: start-exclusive, stop-inclusive —
+    // a run from point(slot=100) keeps ONLY blocks after block1
+    val from = Some(ChainPoints.ChainPoint(100L, ""))
+    val bounded = parsed.filter(ChainPoints.slotBounds(from, None)(col("slot")))
+    assert(bounded.select("slot").distinct().collect().map(_.getLong(0)).toSeq
+      === Seq(250000L))
+    // ... and a stop at 250000 includes that block
+    val both = parsed.filter(ChainPoints.slotBounds(
+      from, Some(ChainPoints.ChainPoint(250000L, "")))(col("slot")))
+    assert(both.count() === 2) // block2's two txs
+    // origin → everything
+    val all = parsed.filter(ChainPoints.slotBounds(
+      Some(ChainPoints.Origin), None)(col("slot")))
+    assert(all.count() === parsed.count())
+  }
+
   test("tx extraction: counts, flags, fee, nested inputs array") {
     val rows = Extract.tx(parsed).orderBy("slot").collect()
     assert(rows.length === 3)

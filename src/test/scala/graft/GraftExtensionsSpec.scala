@@ -79,6 +79,33 @@ class GraftExtensionsSpec extends SparkSpec {
         case _ => Seq.empty
       }
       assert(all.exists(_.contains("slot_group=0")), "control should scan group 0")
+
+      // contract gate: a table whose slot_group is an ORDINARY column
+      // with an unrelated meaning (slot % 7 here) must NOT receive
+      // derived predicates — before the gate, the rule would imply
+      // slot_group >= 200000 and silently return zero rows
+      val foreignDir = java.nio.file.Files.createTempDirectory("graft-foreign").toString
+      import s2.implicits._
+      Seq((250000L, 250000L % 7), (260000L, 260000L % 7))
+        .toDF("slot", "slot_group")
+        .write.mode("overwrite").parquet(foreignDir)
+      val foreign = s2.read.parquet(foreignDir).filter(col("slot") >= 240000L)
+      assert(foreign.count() === 2, "non-contract table lost rows to pruning")
+
+      // kill-switch: contract table, pruning disabled by conf → both
+      // groups scanned again
+      s2.conf.set("spark.graft.slotGroupPruning", "false")
+      try {
+        val off = s2.read.parquet(s"$dir/tx").filter(col("slot") >= 240000L)
+        off.count()
+        val offScanned = off.queryExecution.executedPlan.collectLeaves().flatMap {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+          case _ => Seq.empty
+        }
+        assert(offScanned.exists(_.contains("slot_group=0")),
+          "kill-switch should disable derived pruning")
+      } finally s2.conf.set("spark.graft.slotGroupPruning", "true")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -49,10 +49,14 @@ class OperatorsSpec extends SparkSpec {
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("h"))
       .filter(col("h") <= DedupQueries.hammingMax)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val blocked = DedupQueries.d04.fn(spark, sf).collect()
+    val blockedRows = DedupQueries.d04.fn(spark, sf).collect()
+    val blocked = blockedRows
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(blocked === brute)
     assert(brute.nonEmpty)
+    // the self-check column: every row carries the brute-force match
+    // count, which must equal the number of emitted rows
+    blockedRows.foreach(r => assert(r.getLong(3) === blockedRows.length.toLong))
   }
 
   test("s02 LSH ANN: ranked output is bucket-consistent and cosine-correct") {
@@ -114,5 +118,38 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(prefixed === exact)
     assert(exact.nonEmpty)
+  }
+
+  test("d06 df-ordered prefix index shrinks the candidate set vs the full index") {
+    val grams = DedupQueries.wordTrigrams(spark.read.parquet(s"$sf/documents.parquet")).cache()
+    val full = grams.toDF("a", "ga")
+      .join(grams.toDF("b", "gb"), col("ga") === col("gb") && col("a") < col("b"))
+      .select("a", "b").distinct().count()
+    val prefixed = DedupQueries.prefixCandidates(grams, DedupQueries.jaccardThreshold).count()
+    info(s"candidates: full index $full, df-ordered prefix $prefixed")
+    assert(prefixed < full)
+    assert(prefixed > 0)
+  }
+
+  test("df-cut similarity join: generous cut is exact, tiny cut is a subset with true jaccards") {
+    val grams = DedupQueries.wordTrigrams(spark.read.parquet(s"$sf/documents.parquet")).cache()
+    val exact = DedupQueries.d02.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val generous = DedupQueries.dfCutJaccardJoin(grams, 0.8, maxDf = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(generous === exact)
+    val tiny = DedupQueries.dfCutJaccardJoin(grams, 0.8, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // recall may drop, but every surviving pair carries its TRUE jaccard
+    assert(tiny.subsetOf(exact))
+  }
+
+  test("q07 array round-trip shape produces exactly the measured direct-join output") {
+    val direct = graft.ops.CoreQueries.q07.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val roundTrip = graft.ops.CoreQueries.q07ArrayRoundTrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(roundTrip === direct)
+    assert(direct.nonEmpty)
   }
 }

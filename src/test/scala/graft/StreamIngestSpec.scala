@@ -38,6 +38,49 @@ class StreamIngestSpec extends SparkSpec {
     assert(txGroups.toSeq === Seq("slot_group=0", "slot_group=200000"))
   }
 
+  test("rollback message truncates tables idempotently, then the new chain appends") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val base = java.nio.file.Files.createTempDirectory("graft-rollback").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rbckpt").toString
+
+    // run 1: both fixture blocks land (slots 100 and 250000)
+    source.addData(Fixture.block1)
+    source.addData(Fixture.block2)
+    val q1 = StreamIngest.start(source.toDF().toDF("json"), base, ckpt)
+    q1.awaitTermination(120000)
+    assert(!q1.isActive)
+
+    // run 2 (same checkpoint → resumes after run 1's offsets): roll back
+    // to slot 240000 (undoes block2), then the replacement chain
+    // delivers a block at slot 245000
+    val replacement =
+      s"""{"slot": 245000, "id": "${Fixture.hx("03", 32)}", "height": 2, "transactions": [
+         |  {"id": "${Fixture.hx("ef", 32)}", "fee": {"ada": {"lovelace": 111}}, "inputs": [],
+         |   "outputs": [{"address": "addr1new", "value": {"ada": {"lovelace": 5}}}]}
+         |]}""".stripMargin.replaceAll("\n", " ")
+    source.addData("""{"rollback": {"slot": 240000}}""")
+    source.addData(replacement)
+    val q = StreamIngest.start(source.toDF().toDF("json"), base, ckpt)
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+
+    val tx = spark.read.parquet(s"$base/tx")
+    val slots = tx.select("slot").collect().map(_.getLong(0)).sorted.toSeq
+    // block1's tx survives, block2's two txs rolled back, replacement appended
+    assert(slots === Seq(100L, 245000L))
+    // the boundary group was rewritten in place, not duplicated
+    val groups = new java.io.File(s"$base/tx").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(groups === Seq("slot_group=0", "slot_group=200000"))
+    // replaying the same rollback is a no-op (idempotent remedy)
+    graft.ingest.CardanoWriter.rollbackTo(spark, base, "tx", 240000L)
+    graft.ingest.CardanoWriter.rollbackTo(spark, base, "tx", 240000L)
+    val after = spark.read.parquet(s"$base/tx")
+      .select("slot").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === Seq(100L)) // 245000 > 240000 rolls back too, once
+  }
+
   test("watermarked hourly rollup aggregates a bounded stream") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String, Double)]

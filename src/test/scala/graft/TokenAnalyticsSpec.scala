@@ -89,6 +89,60 @@ class TokenAnalyticsSpec extends SparkSpec {
     assert(stats === TokenAnalytics.TokenFeeStats(0L, 0L, 0.0, None, None))
   }
 
+  test("named-token registry resolves hosky/snek case-insensitively; unknown → None") {
+    import graft.api.Registry
+    val hosky = Registry.tokenInfo("HOSKY")
+    assert(hosky === Some(Registry.TokenInfo(
+      "a0028f350aaabe0545fdcb56b039bfb08e4bb4d8c4d7c3c7d481c235", "484f534b59")))
+    assert(Registry.tokenInfo("snek").isDefined)
+    assert(Registry.tokenInfo("dogecoin") === None)
+    assert(TokenAnalytics.analyzeTokenFeesByName(tx, asset, "dogecoin") === None)
+  }
+
+  test("findTokenTransfersByName runs the analysis from a token name") {
+    import graft.api.Registry
+    val h = Registry.KnownTokens("hosky")
+    // a chain where the real HOSKY unit is minted then moved
+    val txH1 = hx("a1", 32); val txH2 = hx("a2", 32)
+    val b1 =
+      s"""{"slot": 500, "id": "${hx("05", 32)}", "transactions": [
+         |  {"id": "$txH1", "fee": {"ada": {"lovelace": 300000}}, "inputs": [],
+         |   "outputs": [{"address": "addr1whale",
+         |     "value": {"ada": {"lovelace": 1000000}, "${h.policyIdHex}": {"${h.assetNameHex}": 7}}}]}
+         |]}""".stripMargin.replaceAll("\n", " ")
+    val b2 =
+      s"""{"slot": 600, "id": "${hx("06", 32)}", "transactions": [
+         |  {"id": "$txH2", "fee": {"ada": {"lovelace": 250000}},
+         |   "inputs": [{"transaction": {"id": "$txH1"}, "index": 0}],
+         |   "outputs": [{"address": "addr1shrimp",
+         |     "value": {"ada": {"lovelace": 900000}, "${h.policyIdHex}": {"${h.assetNameHex}": 7}}}]}
+         |]}""".stripMargin.replaceAll("\n", " ")
+    val p = Extract.parse(Seq(b1, b2).toDF("json"))
+    val rows = TokenAnalytics
+      .findTokenTransfersByName(Extract.tx(p), Extract.asset(p), "Hosky")
+      .get.collect()
+    assert(rows.map(r => hex(r.getAs[Array[Byte]]("tx_id"))).toSet === Set(txH1, txH2))
+    val stats = TokenAnalytics
+      .analyzeTokenFeesByName(Extract.tx(p), Extract.asset(p), "hosky").get
+    assert(stats.totalTransactions === 2)
+    assert(stats.totalFeesLovelace === 550000L)
+  }
+
+  test("transfersForCsv renders a CSV-safe frame and writeCsv round-trips it") {
+    val transfers = TokenAnalytics.findTokenTransfers(tx, asset, policy, Some(tokenHex))
+    val csvDf = TokenAnalytics.transfersForCsv(transfers)
+    assert(csvDf.columns.toSeq ===
+      Seq("slot", "tx_id", "tx_fee", "input_addr_set", "output_addr_set"))
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/transfers"
+    graft.io.Tables.writeCsv(csvDf, out)
+    val back = spark.read.option("header", "true").csv(out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(back.length === 2)
+    assert(back(0) === ("100", txA, null, "addr1tok")) // mint: null input set
+    assert(back(1) === ("300", txD, "addr1tok", "addr1new"))
+  }
+
   test("highFeeTransactions and feeStatistics mirror the main.py query") {
     val top = TokenAnalytics.highFeeTransactions(tx, minFeeLovelace = 150000L, k = 2)
       .collect()
