@@ -63,6 +63,21 @@ object DedupQueries {
     gramsMemo.getOrElseUpdate((spark, dir),
       wordTrigrams(table(spark, dir, "documents")).cache())
 
+  /** The per-doc shingle SET as one sorted array row — the compact form
+    * candidate verification joins against (one row per doc instead of
+    * one per (doc, shingle)). Shared+cached like [[sharedGrams]]; built
+    * from it, so the explode is never recomputed.
+    */
+  private val setsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def sharedGramSets(spark: SparkSession, dir: String): DataFrame =
+    setsMemo.getOrElseUpdate((spark, dir),
+      sharedGrams(spark, dir)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("g"))).as("gs"))
+        .cache())
+
   /** Matching DuckDB CTEs producing the same (doc_id, g) relation. */
   val trigramCte: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -73,24 +88,25 @@ object DedupQueries {
       |)""".stripMargin
 
   /** Exact Jaccard over the (small) verified candidate pair set:
-    * given pairs (a, b), join each side's shingles and count the
-    * intersection; J = |∩| / (|A| + |B| − |∩|). Integer counts and one
-    * double division — bit-identical across engines.
+    * join each pair against the per-doc shingle-set arrays and count
+    * the STRING intersection (`array_intersect` — exact, no hashing);
+    * J = |∩| / (|A| + |B| − |∩|). Integer counts and one double
+    * division — bit-identical across engines. Two joins against the
+    * compact one-row-per-doc relation replace the round-2 shape (join
+    * candidates back into the exploded shingle relation twice + a
+    * re-aggregation): three shuffle stages fewer, and the set relation
+    * is session-shared.
     */
-  def exactJaccard(pairs: DataFrame, grams: DataFrame): DataFrame = {
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val ga = grams.toDF("a", "ga")
-    val gb = grams.toDF("b", "gb")
-    val inter = pairs
-      .join(ga, "a").join(gb, "b")
-      .filter(col("ga") === col("gb"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    inter
-      .join(broadcast(sizes.toDF("a", "sa")), "a")
-      .join(broadcast(sizes.toDF("b", "sb")), "b")
+  def exactJaccard(pairs: DataFrame, sets: DataFrame): DataFrame =
+    pairs
+      .join(sets.toDF("a", "ga"), "a")
+      .join(sets.toDF("b", "gb"), "b")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("i"),
+        size(col("ga")).cast("long").as("sa"),
+        size(col("gb")).cast("long").as("sb"))
+      .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
-  }
 
   // ---------------------------------------------------------------------
   // d01 — exact dedup: group by content hash, keep the smallest doc_id.
@@ -194,7 +210,7 @@ object DedupQueries {
         col("band") === col("band2") && col("bh") === col("bh2") &&
           col("a") < col("b"))
       .select("a", "b").distinct()
-    exactJaccard(candidates, grams)
+    exactJaccard(candidates, sharedGramSets(spark, dir))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }
@@ -279,8 +295,11 @@ object DedupQueries {
     * can count candidates and compare orderings.
     */
   def prefixCandidates(grams: DataFrame, threshold: Double): DataFrame = {
-    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val keyed = grams.join(df, "g")
+    // df via a count window over g: ONE shuffle on the shingle (vs the
+    // groupBy-then-join-back shape's two)
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val keyed = grams
+      .withColumn("df", count(lit(1)).over(byG))
       .select(col("doc_id"), struct(col("df"), xxhash64(col("g")).as("h")).as("k"))
     val prefixes = keyed
       .groupBy("doc_id")
@@ -300,7 +319,7 @@ object DedupQueries {
     d02.oracle.get // provably the same answer as the exact join
   ) { (spark, dir) =>
     val grams = sharedGrams(spark, dir)
-    exactJaccard(prefixCandidates(grams, jaccardThreshold), grams)
+    exactJaccard(prefixCandidates(grams, jaccardThreshold), sharedGramSets(spark, dir))
       .filter(col("jaccard") >= jaccardThreshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -327,7 +346,8 @@ object DedupQueries {
       .join(indexed.toDF("b", "gb"),
         col("ga") === col("gb") && col("a") < col("b"))
       .select("a", "b").distinct()
-    exactJaccard(candidates, grams).filter(col("jaccard") >= threshold)
+    val sets = grams.groupBy("doc_id").agg(sort_array(collect_list(col("g"))).as("gs"))
+    exactJaccard(candidates, sets).filter(col("jaccard") >= threshold)
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d06)

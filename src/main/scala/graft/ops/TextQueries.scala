@@ -232,5 +232,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, p01)
+  // ---------------------------------------------------------------------
+  // p02 — deterministic corpus split: every training-data pipeline needs
+  // a reproducible train/val/test assignment that is (a) stable across
+  // runs and engines, (b) a pure map over the data (no shuffle, no
+  // global state), and (c) consistent for duplicate documents (same
+  // text → same split, so dedup order doesn't leak test into train).
+  // Mechanism: bucket = first byte of md5(text) (0..255); train < 205
+  // (~80%), val < 230 (~10%), test otherwise. At 100 TB this is a
+  // narrow map the scan fuses into codegen — the only correct way to
+  // split a corpus that doesn't fit a driver-side shuffle-and-slice.
+  // DuckDB oracle parses the same two hex chars arithmetically.
+  // ---------------------------------------------------------------------
+  val p02 = Q("p02_corpus_split",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(CASE WHEN c >= 'a' THEN ascii(c) - 87 ELSE ascii(c) - 48 END AS BIGINT)
+      |       FOR c IN split(substring(md5(text), 1, 2), '')]),
+      |      (a, x) -> a * 16 + x) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 205 THEN 'train'
+      |       WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long").as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, p01, p02)
 }

@@ -13,11 +13,13 @@ class ExtendedSpec extends SparkSpec {
   test("q20: HLL++ approximate distinct within its declared 2% rsd of exact") {
     val rows = ExtendedQueries.q20.fn(spark, sf).collect()
     assert(rows.nonEmpty)
+    val exact = ExtendedQueries.q20Exact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("exact_orders").toDouble).toMap
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+      val e = exact(r.getString(0))
+      assert(math.abs(approx - e) / e < 0.1,
+        s"${r.getString(0)}: approx=$approx exact=$e")
     }
   }
 
