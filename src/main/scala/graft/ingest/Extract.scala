@@ -40,6 +40,19 @@ object Extract {
       .select(from_json(col(jsonCol), Schemas.blockSchema).as("b"))
       .select(col("b.slot").as("slot"), explode(col("b.transactions")).as("tx"))
 
+  /** Dead-letter surface: the raw rows whose block JSON fails to parse
+    * (malformed JSON, or schema-alien input missing the mandatory
+    * `slot`). `from_json` nulls these out and `parse`'s explode then
+    * silently drops them — acceptable for ad-hoc runs, not for a
+    * 100 TB ingest where a silently-skipped block is an audit hole.
+    * Callers route this relation to a quarantine sink
+    * (`StreamIngest.start(corruptDir = …)`) and alert on its count.
+    */
+  def corruptRecords(raw: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val b = from_json(col(jsonCol), Schemas.blockSchema)
+    raw.filter(b.isNull || b.getField("slot").isNull)
+  }
+
   private def nsize(c: Column): Column =
     when(c.isNull, 0).otherwise(size(c))
 

@@ -36,10 +36,13 @@ object StreamIngest {
 
   /** Start the ingest stream: block JSON in `jsonCol` → 11 Cardano
     * tables, slot-group-partition-appended under `baseDir`; rollback
-    * messages truncate before the batch's blocks append.
+    * messages truncate before the batch's blocks append. With
+    * `corruptDir` set, rows whose JSON fails to parse are appended
+    * verbatim to that quarantine directory (dead-letter channel)
+    * instead of being silently dropped.
     */
   def start(blocks: DataFrame, baseDir: String, checkpointDir: String,
-      jsonCol: String = "json"): StreamingQuery =
+      jsonCol: String = "json", corruptDir: Option[String] = None): StreamingQuery =
     blocks.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -54,8 +57,14 @@ object StreamIngest {
           Extract.tableNames.foreach(t =>
             CardanoWriter.rollbackTo(spark, baseDir, t, point))
         }
+        val nonRollback = batch.filter(rbSlot.isNull)
+        corruptDir.foreach { dir =>
+          Extract.corruptRecords(nonRollback, jsonCol)
+            .select(col(jsonCol).cast("string"))
+            .write.mode("append").text(dir)
+        }
         // one parse per batch, shared by the 10 table projections
-        val parsed = Extract.parse(batch.filter(rbSlot.isNull), jsonCol).cache()
+        val parsed = Extract.parse(nonRollback, jsonCol).cache()
         try
           Extract.allTables(parsed).foreach { case (t, df) =>
             CardanoWriter.write(df, baseDir, t, mode = "append")

@@ -81,6 +81,29 @@ class StreamIngestSpec extends SparkSpec {
     assert(after === Seq(100L)) // 245000 > 240000 rolls back too, once
   }
 
+  test("malformed block JSON lands in the quarantine dir, tables unaffected") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val base = java.nio.file.Files.createTempDirectory("graft-dl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dlckpt").toString
+    val quarantine = java.nio.file.Files.createTempDirectory("graft-dlq").toString + "/corrupt"
+
+    source.addData(Fixture.block1)
+    source.addData("{ this is not json")
+    source.addData("""{"hello": "schema-alien but valid json"}""")
+    val q = StreamIngest.start(source.toDF().toDF("json"), base, ckpt,
+      corruptDir = Some(quarantine))
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+
+    val bad = spark.read.text(quarantine).collect().map(_.getString(0)).toSet
+    assert(bad === Set("{ this is not json",
+      """{"hello": "schema-alien but valid json"}"""))
+    // the good block extracted normally; the bad rows were not dropped
+    // into any table
+    assert(spark.read.parquet(s"$base/tx").count() === 1)
+  }
+
   test("watermarked hourly rollup aggregates a bounded stream") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String, Double)]
