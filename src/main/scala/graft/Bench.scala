@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // NOTE: measured, rejected: coalescePartitions.parallelismFirst=
+      // false (size-first AQE coalescing) regressed the suite 31.5→45 s
+      // at sf0.1 — dedup/window intermediates are CPU-dense (small in
+      // bytes, expensive per row), so byte-advisory coalescing starves
+      // them of cores. Default (parallelism-first) stands.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup at the smallest SF: the plans are identical

@@ -123,6 +123,8 @@ object Main {
             Tables.writeCsv(TokenAnalytics.transfersForCsv(transfers), out)
             println(s"Detailed results saved to $out")
           }
+          println("Fee breakdown by transfer type:")
+          TokenAnalytics.transferTypeBreakdown(transfers).show(truncate = false)
           val stats = TokenAnalytics.feeStats(transfers)
           println(s"transactions=${stats.totalTransactions} " +
             s"totalFeesLovelace=${stats.totalFeesLovelace} " +

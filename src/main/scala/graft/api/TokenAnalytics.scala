@@ -155,6 +155,22 @@ object TokenAnalytics {
       concat_ws(";", col("input_addr_set")).as("input_addr_set"),
       concat_ws(";", col("output_addr_set")).as("output_addr_set"))
 
+  /** Per-transfer-type fee breakdown — the reference's conditional
+    * `transfer_type` groupby (/root/reference/token_fee_analysis.py:
+    * 317-325; its own query never materializes the column, so the
+    * breakdown is always empty there). Here the type is derived from
+    * the transfer itself: a NULL input address set means the token came
+    * from nowhere (`mint`); anything else is an ownership `transfer`.
+    */
+  def transferTypeBreakdown(transfers: DataFrame): DataFrame =
+    transfers
+      .withColumn("transfer_type",
+        when(col("input_addr_set").isNull, "mint").otherwise("transfer"))
+      .groupBy("transfer_type")
+      .agg(count(lit(1)).as("count"), sum("tx_fee").as("total_fee"),
+        avg("tx_fee").as("avg_fee"))
+      .orderBy("transfer_type")
+
   /** `main.py query` part 1: top-K transactions by fee above a threshold
     * (/root/reference/main.py:24-38), with a deterministic tiebreak.
     */

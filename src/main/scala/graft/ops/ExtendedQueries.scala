@@ -275,5 +275,46 @@ object ExtendedQueries {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23)
+  // ---------------------------------------------------------------------
+  // q24 — grouped exact quantiles (§2.4: no quantile support in the
+  // reference): p50/p90/p99 of order totals per priority class, computed
+  // by ORDERED SELECTION — rank every row once (one window shuffle,
+  // shared by row_number and the group count), then pick the
+  // ⌈p·n⌉-th smallest (lower discrete quantile, deterministic
+  // tiebreak). No quantile UDAF needed, and the selected values are
+  // EXISTING data values (no interpolation arithmetic) so Spark and
+  // DuckDB agree bit-for-bit. At 100 TB the sketch path
+  // (approx_percentile, t-digest) replaces this when a full sort
+  // per group is too hot; the selection pattern here costs exactly one
+  // hash-partitioned sort — the same shuffle any per-group window pays.
+  // ---------------------------------------------------------------------
+  val q24 = Q("q24_group_quantiles",
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(p AS DOUBLE) AS p, o_totalprice AS value
+      |FROM ranked, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+      |              (CAST(0.99 AS DOUBLE))) q(p)
+      |WHERE rn = CAST(ceil(p * n) AS BIGINT)
+      |ORDER BY o_orderpriority, p""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byPrio = Window.partitionBy("o_orderpriority")
+    val ranked = table(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn",
+        row_number().over(byPrio.orderBy("o_totalprice", "o_orderkey")))
+      .withColumn("n", count(lit(1)).over(byPrio))
+    ranked
+      .crossJoin(spark.range(1).select(
+        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p")))
+      .filter(col("rn") === ceil(col("p") * col("n")).cast("long"))
+      .select(col("o_orderpriority"), col("p"), col("o_totalprice").as("value"))
+      .orderBy("o_orderpriority", "p")
+  }
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24)
 }

@@ -128,6 +128,15 @@ class TokenAnalyticsSpec extends SparkSpec {
     assert(stats.totalFeesLovelace === 550000L)
   }
 
+  test("transferTypeBreakdown splits mint (null input set) from transfer") {
+    val transfers = TokenAnalytics.findTokenTransfers(tx, asset, policy, Some(tokenHex))
+    val rows = TokenAnalytics.transferTypeBreakdown(transfers).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows === Map(
+      "mint" -> (1L, 500000L), // txA
+      "transfer" -> (1L, 200000L))) // txD
+  }
+
   test("transfersForCsv renders a CSV-safe frame and writeCsv round-trips it") {
     val transfers = TokenAnalytics.findTokenTransfers(tx, asset, policy, Some(tokenHex))
     val csvDf = TokenAnalytics.transfersForCsv(transfers)
