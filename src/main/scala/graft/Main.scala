@@ -41,7 +41,7 @@ object Main {
   }
 
   /** Split `--flag value` pairs from positional arguments. */
-  private def splitArgs(args: List[String]): (List[String], Map[String, String]) = {
+  private[graft] def splitArgs(args: List[String]): (List[String], Map[String, String]) = {
     @annotation.tailrec
     def go(xs: List[String], pos: List[String],
         flags: Map[String, String]): (List[String], Map[String, String]) =
@@ -95,18 +95,7 @@ object Main {
 
     case "token" :: rest =>
       val (pos, flags) = splitArgs(rest)
-      // <tablesDir> then either <name> or <policyHex> <assetHex>, then
-      // optional numeric [minSlot] [maxSlot]
-      val resolved = pos match {
-        case tablesDir :: name :: tail if Registry.tokenInfo(name).isDefined =>
-          val t = Registry.tokenInfo(name).get
-          Some((tablesDir, t.policyIdHex, Some(t.assetNameHex), tail))
-        case tablesDir :: policy :: asset :: tail if policy.toLongOption.isEmpty =>
-          Some((tablesDir, policy,
-            if (asset.isEmpty) None else Some(asset), tail))
-        case _ => None
-      }
-      resolved match {
+      resolveTokenArgs(pos) match {
         case Some((tablesDir, policy, assetName, tail))
             if tail.length <= 2 && tail.forall(_.toLongOption.isDefined) =>
           val spark = session()
@@ -136,6 +125,22 @@ object Main {
 
     case _ => usage()
   }
+
+  /** Resolve `token` positionals: `<tablesDir>` then either a
+    * registry name or `<policyHex> <assetHex>`, then optional numeric
+    * `[minSlot] [maxSlot]` → (tablesDir, policyHex, assetNameHex, tail).
+    */
+  private[graft] def resolveTokenArgs(
+      pos: List[String]): Option[(String, String, Option[String], List[String])] =
+    pos match {
+      case tablesDir :: name :: tail if Registry.tokenInfo(name).isDefined =>
+        val t = Registry.tokenInfo(name).get
+        Some((tablesDir, t.policyIdHex, Some(t.assetNameHex), tail))
+      case tablesDir :: policy :: asset :: tail if policy.toLongOption.isEmpty =>
+        Some((tablesDir, policy,
+          if (asset.isEmpty) None else Some(asset), tail))
+      case _ => None
+    }
 
   private def usage(): Nothing = {
     System.err.println(
