@@ -31,10 +31,11 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
-    // best-of-2 per query: this host shows ±30% run-to-run noise, and
-    // the min is the standard noise-robust steady-state estimator
+    // best-of-3 per query: this host shows ±30% (occasionally 4-5×)
+    // run-to-run noise under contention, and the min is the standard
+    // noise-robust steady-state estimator
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { run(fn, sfDir) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9

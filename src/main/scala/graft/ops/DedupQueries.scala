@@ -295,20 +295,20 @@ object DedupQueries {
     * can count candidates and compare orderings.
     */
   def prefixCandidates(grams: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // df via a count window over g: ONE shuffle on the shingle (vs the
-    // groupBy-then-join-back shape's two)
-    val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val keyed = grams
+    // groupBy-then-join-back shape's two); then the per-doc prefix via a
+    // rank window over (df, h) — one doc_id shuffle, no array
+    // build/slice/explode round-trip
+    val byG = Window.partitionBy("g")
+    val byDoc = Window.partitionBy("doc_id")
+    val prefixes = grams
       .withColumn("df", count(lit(1)).over(byG))
-      .select(col("doc_id"), struct(col("df"), xxhash64(col("g")).as("h")).as("k"))
-    val prefixes = keyed
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("k"))).as("ks"))
-      .select(col("doc_id"),
-        explode(slice(col("ks"), lit(1),
-          (size(col("ks")) - ceil(size(col("ks")) * threshold) + 1)
-            .cast("int"))).as("k"))
-      .select(col("doc_id"), col("k.df").as("df"), col("k.h").as("h"))
+      .withColumn("h", xxhash64(col("g")))
+      .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id"), col("df"), col("h"))
     prefixes.toDF("a", "dfa", "ha")
       .join(prefixes.toDF("b", "dfb", "hb"),
         col("ha") === col("hb") && col("dfa") === col("dfb") && col("a") < col("b"))
