@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, CustomFunctions, MinHashAgg, RollingHash, SimHashAgg}
+import graft.functions.{ArrayCountIn, ArrayDot, CustomFunctions, MinHashAgg, RollingHash, SimHashAgg}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * expressions into any session built with
@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SimHashAgg(exprs.head), classOf[SimHashAgg]))
     ext.injectFunction(fn("array_dot",
       exprs => ArrayDot(exprs(0), exprs(1)), classOf[ArrayDot]))
+    ext.injectFunction(fn("array_count_in",
+      ArrayCountIn.fromExprs, classOf[ArrayCountIn]))
     // slot predicates → slot_group partition pruning (SURVEY.md §4)
     ext.injectOptimizerRule(_ =>
       graft.plans.SlotGroupPruning(graft.ingest.CardanoWriter.SlotGroupSize))

@@ -231,7 +231,76 @@ object CustomFunctions {
       "simhash64", exprs => SimHashAgg(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "array_count_in", ArrayCountIn.fromExprs, "built-in")
   }
+}
+
+object ArrayCountIn {
+  /** SQL/call_function builder: second argument must be a literal array
+    * of strings (the static vocabulary), folded at plan time.
+    */
+  def fromExprs(exprs: Seq[Expression]): ArrayCountIn = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "array_count_in(arr, markers) requires a literal marker array")
+    val data = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val markers = (0 until data.numElements()).map(data.getUTF8String(_).toString)
+    ArrayCountIn(exprs.head, markers)
+  }
+}
+
+/** Occurrence-weighted membership count: how many elements of an
+  * array<string> are in a small static vocabulary. The marker-ratio
+  * primitive of the language-ID / quality-score family —
+  * `size(filter(w, t => array_contains(markers, t)))` expresses the
+  * same thing, but higher-order builtins evaluate their lambda
+  * interpretively per element, putting an interpreter in the hottest
+  * corpus-wide map loop; this stays in whole-stage codegen with one
+  * hash probe per token.
+  */
+case class ArrayCountIn(child: Expression, markers: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](markers.size * 2)
+    markers.foreach(m => s.add(UTF8String.fromString(m)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val len = arr.numElements()
+    var n = 0L
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val setRef = ctx.addReferenceObj("markerSet", set,
+        classOf[java.util.HashSet[_]].getName)
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val len = ctx.freshName("len")
+      s"""
+         |long $n = 0L;
+         |int $len = $c.numElements();
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (!$c.isNullAt($i) && $setRef.contains($c.getUTF8String($i))) $n++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayCountIn =
+    copy(child = newChild)
+  override def prettyName: String = "array_count_in"
 }
 
 /** Strict left-to-right dot product of two array<double> columns —

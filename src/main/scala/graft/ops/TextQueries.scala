@@ -34,10 +34,14 @@ object TextQueries {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Fraction of tokens contained in `markers` (occurrence-weighted, not
-    * distinct): one filter+size over the token array, one division.
+    * distinct): one membership-count pass over the token array (native
+    * codegen'd ArrayCountIn — a `filter` lambda would run interpreted
+    * per token), one division. Callers must have
+    * `CustomFunctions.register`ed the session.
     */
   private def markerRatio(w: Column, markers: Seq[String]): Column =
-    size(filter(w, t => array_contains(typedLit(markers), t))).cast("double") / size(w)
+    call_function("array_count_in", w, array(markers.map(lit): _*))
+      .cast("double") / size(w)
 
   private def markerRatioSql(markers: Seq[String]): String =
     s"CAST(len(list_filter(w, t -> list_contains(${sqlList(markers)}, t))) AS DOUBLE) / len(w)"
@@ -65,6 +69,7 @@ object TextQueries {
        |  ${langs.map(l => s"score_$l").mkString(", ")}
        |FROM scored ORDER BY doc_id""".stripMargin
   }) { (spark, dir) =>
+    CustomFunctions.register(spark)
     val langs = langProfiles.map(_._1)
     val withScores = table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
@@ -119,6 +124,7 @@ object TextQueries {
        |    THEN 1 ELSE 0 END AS keep
        |FROM toks ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
+    CustomFunctions.register(spark)
     val df = table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"),
         length(col("text")).cast("long").as("n"))
@@ -214,6 +220,7 @@ object TextQueries {
        |FROM dedup d JOIN kept k ON k.doc_id = d.doc_id
        |ORDER BY k.doc_id""".stripMargin
   ) { (spark, dir) =>
+    CustomFunctions.register(spark)
     val toks = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"),
         split(col("text"), " ").as("w"))

@@ -87,6 +87,23 @@ object StreamIngest {
         col("cnt"), col("sum_value"))
 
 
+  /** Streaming exact deduplication — d01's continuous twin: first
+    * occurrence of each content hash passes, later duplicates are
+    * dropped, across micro-batches. `dropDuplicatesWithinWatermark`
+    * keys the state store on the hash and expires entries once the
+    * watermark passes (bounded state — the property that lets this run
+    * forever at ingest scale; an unbounded `dropDuplicates` would
+    * accumulate every hash ever seen). Duplicates arriving further
+    * apart than the watermark delay are admitted again — the standard
+    * streaming-dedup contract; the batch d01 pass is the full-history
+    * backstop.
+    */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Custom stateful streaming: gap-based sessionization per user via
     * flatMapGroupsWithState — the KeyValueGroupedDataset custom-state
     * path for semantics windowed aggs can't express (a session ends

@@ -61,6 +61,31 @@ class CustomExpressionsSpec extends SparkSpec {
     assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
   }
 
+  test("array_count_in counts occurrences in the vocabulary, codegen ≡ lambda") {
+    CustomFunctions.register(spark)
+    val markers = Seq("the", "a", "data")
+    val df = Seq(
+      "the a the data xyz", // 4 marker tokens (occurrence-weighted)
+      "nothing here",       // 0
+      "data",               // 1
+      ""                    // "" token → 0
+    ).toDF("text").select(split(col("text"), " ").as("w"))
+    val got = df.select(
+      call_function("array_count_in", col("w"),
+        array(markers.map(lit): _*)).as("n"),
+      size(filter(col("w"),
+        t => array_contains(typedLit(markers), t))).cast("long").as("ref"))
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(4L, 0L, 1L, 0L))
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1), "codegen != lambda reference"))
+    // null array → null result
+    val nullRow = Seq(1).toDF("i")
+      .select(call_function("array_count_in",
+        lit(null).cast("array<string>"), array(lit("x"))).as("n"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("simhash64: single-feature signature is the feature hash; merge is partition-stable") {
     CustomFunctions.register(spark)
     val h = -3141592653589793238L

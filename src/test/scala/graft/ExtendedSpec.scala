@@ -76,6 +76,26 @@ class ExtendedSpec extends SparkSpec {
     rows.foreach(r => assert(cells.contains(r.getLong(2))))
   }
 
+  test("q24 exact selection quantiles bracket approx_percentile's sketch answers") {
+    val exact = ExtendedQueries.q24.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val approx = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+      .collect()
+      .flatMap { r =>
+        val qs = r.getSeq[Double](1)
+        Seq(0.5, 0.9, 0.99).zip(qs).map { case (p, v) => (r.getString(0), p) -> v }
+      }.toMap
+    assert(exact.nonEmpty && exact.keySet === approx.keySet)
+    // the sketch path q24's scaladoc points to agrees within 2% of the
+    // exact ordered-selection answer
+    exact.foreach { case (k, ev) =>
+      assert(math.abs(approx(k) - ev) / ev < 0.02, s"$k: approx=${approx(k)} exact=$ev")
+    }
+  }
+
   test("q17/q18/q19 return rows and are internally consistent") {
     val q17 = ExtendedQueries.q17.fn(spark, sf).collect()
     val byOp = q17.groupBy(_.getString(0)).view.mapValues(_.length).toMap

@@ -131,6 +131,36 @@ class StreamIngestSpec extends SparkSpec {
   }
 
 
+  test("streaming dedup admits first occurrence, drops in-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamIngest.dedupStream(
+      source.toDF().toDF("ts", "doc_id", "text"))
+
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_sink").outputMode("append")
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: two distinct texts
+    source.addData(
+      (t("2024-01-01 10:00:00"), 1L, "alpha"),
+      (t("2024-01-01 10:00:02"), 3L, "beta"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate (state remembers "alpha") and a
+    // new text
+    source.addData(
+      (t("2024-01-01 10:10:00"), 4L, "alpha"),
+      (t("2024-01-01 10:10:01"), 5L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_sink")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // doc 4 is the duplicate drop; everything else passes once
+    assert(got === Set((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on watermark") {
     import graft.streaming.{SessionEvent, SessionOut}
     implicit val sqlCtx = spark.sqlContext
