@@ -100,6 +100,41 @@ object CardanoWriter {
     }
   }
 
+  /** Small-file compaction per slot group — the operational counterpart
+    * of the reference's merge phase (ogmios_parquet.py:523-571, which
+    * re-writes each slot group's incremental files into one compressed
+    * file). Streaming ingest appends one file set per micro-batch, so a
+    * long-running stream accumulates many small files per partition —
+    * the classic 100 TB read-amplification problem (every query pays
+    * per-file open/footer costs). This rewrites each slot-group
+    * partition into `ceil(bytes / targetBytes)` files, idempotently via
+    * the same write-aside-and-swap as rollback. Only groups with more
+    * than one file are touched.
+    */
+  def compact(spark: SparkSession, baseDir: String, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$baseDir/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("slot_group=")).foreach { dir =>
+        val files = fs.listStatus(dir.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (files.length > 1) {
+          val bytes = files.map(_.getLen).sum
+          val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          val tmp = new Path(root, s".compact_tmp_${dir.getPath.getName}")
+          spark.read.parquet(dir.getPath.toString)
+            .repartition(nOut)
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(tmp.toString)
+          fs.delete(dir.getPath, true)
+          fs.rename(tmp, dir.getPath)
+        }
+      }
+  }
+
   /** Read a table back; `slot_group` returns as a partition column and
     * slot_group predicates prune directories before any I/O.
     */

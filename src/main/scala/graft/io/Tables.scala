@@ -58,4 +58,22 @@ object Tables {
   /** S7 — CSV export of a (small, final) result. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Bucketed table write — the co-located-join layout for 100 TB fact
+    * tables: both sides of a recurring equi join written with
+    * `bucketBy(n, key)` hash-place their rows identically, so the join
+    * plans with ZERO Exchange on either side (the shuffle is paid once
+    * at write time, amortized over every subsequent join/aggregation on
+    * the key). Registered in the session catalog with an explicit path;
+    * `BucketedJoinSpec` asserts the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, path: String, tableName: String,
+      bucketCol: String, numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

@@ -23,6 +23,33 @@ class ExtractSpec extends SparkSpec {
 
   private def hex(bs: Array[Byte]): String = bs.map("%02x".format(_)).mkString
 
+  test("compact merges a slot group's micro-batch files, preserving rows") {
+    import graft.ingest.Fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // two appends → at least two file sets in each touched slot group
+    val tx = Extract.tx(parsed)
+    CardanoWriter.write(tx, dir, "tx", mode = "append")
+    CardanoWriter.write(tx, dir, "tx", mode = "append")
+    def filesIn(group: String) = new java.io.File(s"$dir/tx/$group")
+      .listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).length
+    def snapshot() = spark.read.parquet(s"$dir/tx")
+      .collect()
+      .map(r => (r.getAs[Long]("slot"), hex(r.getAs[Array[Byte]]("tx_id")),
+        r.getAs[Long]("tx_fee")))
+      .sorted.toSeq
+    val before = snapshot()
+    assert(filesIn("slot_group=0") >= 2)
+
+    CardanoWriter.compact(spark, dir, "tx")
+    assert(filesIn("slot_group=0") === 1)
+    assert(filesIn("slot_group=200000") === 1)
+    val after = snapshot()
+    assert(after === before)
+    // idempotent: second compaction is a no-op
+    CardanoWriter.compact(spark, dir, "tx")
+    assert(filesIn("slot_group=0") === 1)
+  }
+
   test("chain-point presets resolve and bound an extraction run") {
     import graft.ingest.ChainPoints
     // every reference preset is present (config.py:32-73) + origin
