@@ -274,5 +274,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, p01, p02)
+  // ---------------------------------------------------------------------
+  // p03 — sequence packing (concat-then-chunk): pretraining packs the
+  // token stream of a corpus shard into fixed-size context windows,
+  // documents spanning window boundaries. The relational form: a
+  // running token total per shard (ONE window shuffle, partitioned by
+  // the shard key — a single global ORDER BY window would serialize the
+  // corpus through one task at 100 TB, so packing is always per-shard),
+  // then each document's first/last window index by integer arithmetic
+  // on the running total. Output: where every document lands in the
+  // packed stream — the manifest a loader needs to slice windows.
+  // ---------------------------------------------------------------------
+  val packBudget = 256L // tokens per context window (small, fits testdata)
+
+  val p03 = Q("p03_sequence_pack",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, SUM(tokens) OVER (
+       |    PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT doc_id, lang, CAST(tokens AS BIGINT) AS tokens,
+       |  CAST(cum - tokens AS BIGINT) AS start_tok,
+       |  CAST(floor((cum - tokens) / $packBudget) AS BIGINT) AS first_chunk,
+       |  CAST(floor((cum - 1) / $packBudget) AS BIGINT) AS last_chunk
+       |FROM c ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("cum", sum("tokens").over(w))
+      .select(col("doc_id"), col("lang"), col("tokens"),
+        (col("cum") - col("tokens")).as("start_tok"),
+        floor((col("cum") - col("tokens")) / packBudget).as("first_chunk"),
+        floor((col("cum") - 1) / packBudget).as("last_chunk"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, p01, p02, p03)
 }
