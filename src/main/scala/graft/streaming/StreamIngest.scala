@@ -87,6 +87,33 @@ object StreamIngest {
         col("cnt"), col("sum_value"))
 
 
+  /** Watermarked stream-stream interval join — the attribution shape: a
+    * `cause` event matched to every `effect` event of the same user
+    * within `maxLagMinutes` after it. Both sides carry watermarks and
+    * the join condition bounds event time on BOTH ends, so Spark can
+    * expire join state once the watermark passes — the property that
+    * lets two unbounded streams join with bounded memory (an unbounded
+    * condition would hold every row forever). Batch twin: q21's as-of
+    * join family.
+    */
+  def correlate(cause: DataFrame, effect: DataFrame,
+      maxLagMinutes: Int): DataFrame = {
+    val c = cause
+      .select(col("user_id"), col("ts").as("cause_ts"),
+        col("event_type").as("cause_type"))
+      .withWatermark("cause_ts", s"$maxLagMinutes minutes")
+    val e = effect
+      .select(col("user_id").as("e_user"), col("ts").as("effect_ts"),
+        col("event_type").as("effect_type"))
+      .withWatermark("effect_ts", s"$maxLagMinutes minutes")
+    c.join(e,
+      col("user_id") === col("e_user") &&
+        col("effect_ts") >= col("cause_ts") &&
+        col("effect_ts") <= col("cause_ts") + expr(s"INTERVAL $maxLagMinutes MINUTES"))
+      .select(col("user_id"), col("cause_ts"), col("cause_type"),
+        col("effect_ts"), col("effect_type"))
+  }
+
   /** Streaming exact deduplication — d01's continuous twin: first
     * occurrence of each content hash passes, later duplicates are
     * dropped, across micro-batches. `dropDuplicatesWithinWatermark`

@@ -131,6 +131,34 @@ class StreamIngestSpec extends SparkSpec {
   }
 
 
+  test("stream-stream interval join matches effects within the lag window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamIngest.correlate(
+      clicks.toDF().toDF("user_id", "ts", "event_type"),
+      buys.toDF().toDF("user_id", "ts", "event_type"),
+      maxLagMinutes = 10)
+
+    val q = joined.writeStream
+      .format("memory").queryName("corr_sink").outputMode("append")
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    clicks.addData((1L, t("2024-01-01 10:00:00"), "click"),
+      (2L, t("2024-01-01 10:00:00"), "click"))
+    buys.addData(
+      (1L, t("2024-01-01 10:05:00"), "buy"), // within 10 min → match
+      (2L, t("2024-01-01 10:30:00"), "buy"), // outside lag → no match
+      (3L, t("2024-01-01 10:05:00"), "buy")) // no click at all
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("corr_sink")
+      .select("user_id", "cause_type", "effect_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "click", "buy")))
+  }
+
   test("streaming dedup admits first occurrence, drops in-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, Long, String)]
