@@ -316,5 +316,38 @@ object ExtendedQueries {
       .orderBy("o_orderpriority", "p")
   }
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24)
+  // ---------------------------------------------------------------------
+  // q25 — correlated scalar subqueries (§2.2: the reference's only
+  // subquery is an uncorrelated IN): orders strictly above their own
+  // customer's average order value, phrased as two correlated scalar
+  // subqueries (COUNT and SUM against the outer row's customer) and
+  // entered through `spark.sql` — the SQL front door every other query
+  // skips. Catalyst DECORRELATES: the per-row subqueries rewrite to one
+  // grouped aggregate joined back on the key — one shuffle — instead of
+  // the naive per-outer-row re-scan; at 100 TB that rewrite is the
+  // difference between O(N) and O(N²/customers). The avg comparison is
+  // cross-multiplied (price · count > sum) so everything stays in exact
+  // DECIMAL — no division, bit-exact across engines.
+  // ---------------------------------------------------------------------
+  val q25 = Q("q25_correlated_subquery",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(38,6)) *
+      |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |    > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(38,6)))
+      |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    table(spark, dir, "orders").createOrReplaceTempView("q25_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM q25_orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(38,6)) *
+        |      (SELECT COUNT(*) FROM q25_orders i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(38,6)))
+        |       FROM q25_orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }
