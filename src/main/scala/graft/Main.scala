@@ -40,18 +40,33 @@ object Main {
     spark
   }
 
-  /** Split `--flag value` pairs from positional arguments. */
-  private[graft] def splitArgs(args: List[String]): (List[String], Map[String, String]) = {
+  /** Split `--flag value` pairs from positional arguments. Unknown
+    * flags and a trailing valueless flag are ERRORS (Left with a
+    * message), not silently ignored — a typo'd `--form` must not fall
+    * through to an unbounded extraction run.
+    */
+  private[graft] def splitArgs(args: List[String],
+      allowed: Set[String]): Either[String, (List[String], Map[String, String])] = {
     @annotation.tailrec
     def go(xs: List[String], pos: List[String],
-        flags: Map[String, String]): (List[String], Map[String, String]) =
+        flags: Map[String, String]): Either[String, (List[String], Map[String, String])] =
       xs match {
+        case f :: _ if f.startsWith("--") && !allowed.contains(f.drop(2)) =>
+          Left(s"unknown flag $f (allowed: ${allowed.toSeq.sorted.map("--" + _).mkString(", ")})")
         case f :: v :: t if f.startsWith("--") => go(t, pos, flags + (f.drop(2) -> v))
+        case f :: Nil if f.startsWith("--") => Left(s"flag $f requires a value")
         case x :: t => go(t, pos :+ x, flags)
-        case Nil => (pos, flags)
+        case Nil => Right((pos, flags))
       }
     go(args, Nil, Map.empty)
   }
+
+  private def splitArgsOrUsage(args: List[String],
+      allowed: Set[String]): (List[String], Map[String, String]) =
+    splitArgs(args, allowed) match {
+      case Right(r) => r
+      case Left(msg) => System.err.println(msg); usage()
+    }
 
   private def cursor(flags: Map[String, String], key: String): Option[ChainPoints.ChainPoint] =
     flags.get(key).map { v =>
@@ -64,7 +79,7 @@ object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "extract" :: rest =>
-      val (pos, flags) = splitArgs(rest)
+      val (pos, flags) = splitArgsOrUsage(rest, Set("from", "to"))
       pos match {
         case blocksDir :: tablesDir :: Nil =>
           val spark = session()
@@ -94,7 +109,7 @@ object Main {
       spark.stop()
 
     case "token" :: rest =>
-      val (pos, flags) = splitArgs(rest)
+      val (pos, flags) = splitArgsOrUsage(rest, Set("output"))
       resolveTokenArgs(pos) match {
         case Some((tablesDir, policy, assetName, tail))
             if tail.length <= 2 && tail.forall(_.toLongOption.isDefined) =>

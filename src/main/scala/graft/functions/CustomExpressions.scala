@@ -237,14 +237,20 @@ object CustomFunctions {
 }
 
 object ArrayCountIn {
-  /** SQL/call_function builder: second argument must be a literal array
-    * of strings (the static vocabulary), folded at plan time.
+  /** SQL/call_function builder: second argument must be a non-null
+    * literal array of strings (the static vocabulary), folded at plan
+    * time; null elements in the vocabulary are ignored (they can match
+    * nothing).
     */
   def fromExprs(exprs: Seq[Expression]): ArrayCountIn = {
     require(exprs.length == 2 && exprs(1).foldable,
       "array_count_in(arr, markers) requires a literal marker array")
-    val data = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val markers = (0 until data.numElements()).map(data.getUTF8String(_).toString)
+    val evaluated = exprs(1).eval()
+    require(evaluated != null, "array_count_in markers must not be NULL")
+    val data = evaluated.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val markers = (0 until data.numElements())
+      .filterNot(data.isNullAt)
+      .map(data.getUTF8String(_).toString)
     ArrayCountIn(exprs.head, markers)
   }
 }
@@ -262,6 +268,15 @@ case class ArrayCountIn(child: Expression, markers: Seq[String])
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_count_in requires array<string>, got ${other.simpleString(10)}")
+    }
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](markers.size * 2)

@@ -94,10 +94,25 @@ object CardanoWriter {
         val tmp = new Path(root, s".rollback_tmp_$boundary")
         keep.write.mode("overwrite").option("compression", "zstd")
           .parquet(tmp.toString)
-        fs.delete(p, true)
-        fs.rename(tmp, p)
+        swapIn(fs, tmp, p)
       }
     }
+  }
+
+  /** Swap `tmp` into place at `target` without a delete-before-rename
+    * window: the old directory is renamed aside first, so at every
+    * crash point the data exists in full either at the target, at the
+    * `.old` name, or in `tmp` (dot-prefixed dirs are invisible to
+    * readers, but recoverable by hand) — never half-deleted.
+    */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".old_${target.getName}")
+    fs.delete(old, true) // clear any leftover from a previous crash
+    fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
   }
 
   /** Small-file compaction per slot group — the operational counterpart
@@ -110,6 +125,11 @@ object CardanoWriter {
     * partition into `ceil(bytes / targetBytes)` files, idempotently via
     * the same write-aside-and-swap as rollback. Only groups with more
     * than one file are touched.
+    *
+    * Concurrency contract: compact a partition only when nothing is
+    * appending to it — run it on slot groups older than the live ingest
+    * window (their content is final), or with the stream quiesced. A
+    * file appended between the read and the swap would be dropped.
     */
   def compact(spark: SparkSession, baseDir: String, table: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -129,8 +149,7 @@ object CardanoWriter {
             .repartition(nOut)
             .write.mode("overwrite").option("compression", "zstd")
             .parquet(tmp.toString)
-          fs.delete(dir.getPath, true)
-          fs.rename(tmp, dir.getPath)
+          swapIn(fs, tmp, dir.getPath)
         }
       }
   }

@@ -46,11 +46,12 @@ object ChainPoints {
     "block_2025_10_28" -> ChainPoint(170099400L,
       "a603a4b4ac4b077596bfa551648ba1f3fd3f8fd4f8f7818cea8dc917ea1cfd4c"))
 
-  /** Resolve a CLI cursor argument: a preset name, or a bare slot
-    * number (point id unknown — slot-only cursor).
+  /** Resolve a CLI cursor argument: a preset name (case-insensitive —
+    * some preset names contain uppercase, e.g. `…_100K_blocks`), or a
+    * bare slot number (point id unknown — slot-only cursor).
     */
   def resolve(arg: String): Option[ChainPoint] =
-    Presets.get(arg.toLowerCase)
+    Presets.collectFirst { case (k, p) if k.equalsIgnoreCase(arg) => p }
       .orElse(arg.toLongOption.map(s => ChainPoint(s, "")))
 
   /** The cursor's slot predicate over parsed blocks: start-exclusive,

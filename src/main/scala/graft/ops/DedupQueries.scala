@@ -78,6 +78,20 @@ object DedupQueries {
         .agg(sort_array(collect_list(col("g"))).as("gs"))
         .cache())
 
+  /** Drop every shared cached relation. The memos assume the dir's
+    * parquet is immutable for the session's lifetime (true for the
+    * testdata contract and typical immutable corpus snapshots) — after
+    * rewriting a documents dir in place, or before discarding a
+    * session, call this to release the cached blocks and the session
+    * references the memo keys pin.
+    */
+  def invalidateCaches(): Unit = {
+    gramsMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    setsMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    gramsMemo.clear()
+    setsMemo.clear()
+  }
+
   /** Matching DuckDB CTEs producing the same (doc_id, g) relation. */
   val trigramCte: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

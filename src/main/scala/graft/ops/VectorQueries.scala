@@ -192,7 +192,10 @@ object VectorQueries {
   private val centroidsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Double]]]
 
-  /** K-means-trained IVF centroids, trained once per (session, dir). */
+  /** K-means-trained IVF centroids, trained once per (session, dir).
+    * Assumes the dir's embeddings are immutable for the session's
+    * lifetime; [[invalidateCaches]] forces retraining.
+    */
   def trainedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     centroidsMemo.getOrElseUpdate((spark, dir), {
       val feats = vectors(spark, dir)
@@ -201,6 +204,9 @@ object VectorQueries {
         .setK(numCells).setSeed(7L).setMaxIter(5)
         .fit(feats).clusterCenters.map(_.toArray)
     })
+
+  /** Drop the trained-index memo (see DedupQueries.invalidateCaches). */
+  def invalidateCaches(): Unit = centroidsMemo.clear()
 
   /** (dot, cellId) structs for every centroid, descending-sorted so
     * element 1 is the best cell, element 2 the second probe.

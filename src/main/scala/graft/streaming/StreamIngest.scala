@@ -27,10 +27,15 @@ import graft.ingest.{CardanoWriter, Extract}
   * `slot <= N` via `CardanoWriter.rollbackTo` (whole slot groups above
   * the boundary are dropped as directories; the boundary group is
   * rewritten), after which the replacement chain appends normally.
-  * Chain-sync never interleaves old-chain blocks after a RollBackward,
-  * so within a micro-batch the rollback (the minimum point, if several)
-  * is applied FIRST and the batch's block rows are treated as the
-  * post-rollback chain.
+  * Within a micro-batch, ordering matters: old-chain blocks delivered
+  * BEFORE a RollBackward in the same batch must not survive it. With a
+  * monotonic `seqCol` on the source (a Kafka offset, a file line
+  * number), the batch is replayed in true sequence order — append the
+  * segment before each rollback, truncate, continue. Without one, the
+  * rollback (the minimum point, if several) is applied FIRST and every
+  * block row is treated as post-rollback chain — correct only for
+  * sources that never buffer an old-chain block and its rollback into
+  * one batch.
   */
 object StreamIngest {
 
@@ -42,7 +47,8 @@ object StreamIngest {
     * instead of being silently dropped.
     */
   def start(blocks: DataFrame, baseDir: String, checkpointDir: String,
-      jsonCol: String = "json", corruptDir: Option[String] = None): StreamingQuery =
+      jsonCol: String = "json", corruptDir: Option[String] = None,
+      seqCol: Option[String] = None): StreamingQuery =
     blocks.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -50,26 +56,48 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val rbSlot = get_json_object(col(jsonCol), "$.rollback.slot").cast("long")
-        val rb = batch.select(rbSlot.as("rb")).filter(col("rb").isNotNull)
-          .agg(min("rb")).collect()(0)
-        if (!rb.isNullAt(0)) {
-          val point = rb.getLong(0)
-          Extract.tableNames.foreach(t =>
-            CardanoWriter.rollbackTo(spark, baseDir, t, point))
-        }
         val nonRollback = batch.filter(rbSlot.isNull)
         corruptDir.foreach { dir =>
           Extract.corruptRecords(nonRollback, jsonCol)
             .select(col(jsonCol).cast("string"))
             .write.mode("append").text(dir)
         }
-        // one parse per batch, shared by the 10 table projections
-        val parsed = Extract.parse(nonRollback, jsonCol).cache()
-        try
-          Extract.allTables(parsed).foreach { case (t, df) =>
-            CardanoWriter.write(df, baseDir, t, mode = "append")
-          }
-        finally parsed.unpersist()
+        def rollback(point: Long): Unit =
+          Extract.tableNames.foreach(t =>
+            CardanoWriter.rollbackTo(spark, baseDir, t, point))
+        def append(seg: DataFrame): Unit = {
+          // one parse per segment, shared by the 10 table projections
+          val parsed = Extract.parse(seg, jsonCol).cache()
+          try
+            Extract.allTables(parsed).foreach { case (t, df) =>
+              CardanoWriter.write(df, baseDir, t, mode = "append")
+            }
+          finally parsed.unpersist()
+        }
+        seqCol match {
+          case Some(sc) =>
+            // true sequential replay: blocks between consecutive
+            // rollbacks append before the rollback truncates
+            val rollbacks = batch
+              .select(col(sc).cast("long").as("seq"), rbSlot.as("rb"))
+              .filter(col("rb").isNotNull).orderBy("seq")
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            var prev: Option[Long] = None
+            rollbacks.foreach { case (seq, point) =>
+              val lower = prev.map(col(sc).cast("long") > _).getOrElse(lit(true))
+              append(nonRollback.filter(lower && col(sc).cast("long") < seq))
+              rollback(point)
+              prev = Some(seq)
+            }
+            append(prev.fold(nonRollback)(p =>
+              nonRollback.filter(col(sc).cast("long") > p)))
+          case None =>
+            // unordered batch: rollback first, all blocks = new chain
+            val rb = batch.select(rbSlot.as("rb")).filter(col("rb").isNotNull)
+              .agg(min("rb")).collect()(0)
+            if (!rb.isNullAt(0)) rollback(rb.getLong(0))
+            append(nonRollback)
+        }
       }
       .start()
 
@@ -154,19 +182,23 @@ object StreamIngest {
             state.remove()
             Iterator(SessionOut(userId, s.count, s.last - s.start))
           } else {
-            // sorted timeline = carried-over open session + this batch's
-            // events; SPLIT ON EVERY GAP, so several gap-separated
-            // sessions arriving in one micro-batch each close separately
-            // (matching the q22 batch twin), not lumped into one.
-            val times = batch.map(_.ts.getTime).toSeq.sorted
+            // interval merge of the carried-over open session with this
+            // batch's events, ORDERED BY START TIME: split on every gap,
+            // so several gap-separated sessions in one micro-batch each
+            // close separately, and an out-of-order event EARLIER than
+            // the open session's start minus the gap forms its own
+            // (immediately closed) session instead of being lumped in —
+            // both matching the q22 batch twin's sort-then-split.
+            val items = (state.getOption.toSeq ++
+                batch.map(e => SessionState(1L, e.ts.getTime, e.ts.getTime)))
+              .sortBy(s => (s.start, s.last))
             val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-            state.getOption.foreach(sessions += _)
-            times.foreach { t =>
+            items.foreach { iv =>
               sessions.lastOption match {
-                case Some(s) if t <= s.last + gapMs =>
-                  sessions(sessions.length - 1) =
-                    SessionState(s.count + 1, math.min(s.start, t), math.max(s.last, t))
-                case _ => sessions += SessionState(1L, t, t)
+                case Some(m) if iv.start <= m.last + gapMs =>
+                  sessions(sessions.length - 1) = SessionState(
+                    m.count + iv.count, m.start, math.max(m.last, iv.last))
+                case _ => sessions += iv
               }
             }
             if (sessions.isEmpty) Iterator.empty

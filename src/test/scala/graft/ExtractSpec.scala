@@ -56,6 +56,9 @@ class ExtractSpec extends SparkSpec {
     assert(ChainPoints.Presets.size === 11)
     assert(ChainPoints.resolve("last_byron").get.slot === 4492799L)
     assert(ChainPoints.resolve("LAST_BYRON").get.slot === 4492799L)
+    // mixed-case preset names (the reference's exact spelling) resolve too
+    assert(ChainPoints.resolve("snek_mint_plus_100K_blocks").get.slot === 92961183L)
+    assert(ChainPoints.resolve("snek_mint_plus_100k_blocks").get.slot === 92961183L)
     assert(ChainPoints.resolve("12345").get === ChainPoints.ChainPoint(12345L, ""))
     assert(ChainPoints.resolve("nonsense") === None)
 

@@ -8,11 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class MainArgsSpec extends AnyFunSuite {
 
   test("splitArgs separates --flag value pairs from positionals, order-independent") {
-    assert(Main.splitArgs(List("a", "--from", "last_byron", "b", "--to", "123"))
-      === (List("a", "b"), Map("from" -> "last_byron", "to" -> "123")))
-    assert(Main.splitArgs(List("--output", "x.csv")) === (Nil, Map("output" -> "x.csv")))
-    assert(Main.splitArgs(List("a", "b")) === (List("a", "b"), Map.empty[String, String]))
-    assert(Main.splitArgs(Nil) === (Nil, Map.empty[String, String]))
+    val ft = Set("from", "to")
+    assert(Main.splitArgs(List("a", "--from", "last_byron", "b", "--to", "123"), ft)
+      === Right((List("a", "b"), Map("from" -> "last_byron", "to" -> "123"))))
+    assert(Main.splitArgs(List("--output", "x.csv"), Set("output"))
+      === Right((Nil, Map("output" -> "x.csv"))))
+    assert(Main.splitArgs(List("a", "b"), ft) === Right((List("a", "b"), Map.empty[String, String])))
+    assert(Main.splitArgs(Nil, ft) === Right((Nil, Map.empty[String, String])))
+  }
+
+  test("splitArgs rejects unknown flags and trailing valueless flags") {
+    assert(Main.splitArgs(List("a", "--form", "last_byron"), Set("from", "to")).isLeft)
+    assert(Main.splitArgs(List("a", "--from"), Set("from", "to")).isLeft)
+    assert(Main.splitArgs(List("--verbose", "x"), Set("output")).isLeft)
   }
 
   test("resolveTokenArgs: registry name, raw hex pair, and rejection of numeric policy") {

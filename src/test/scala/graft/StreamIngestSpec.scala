@@ -131,6 +131,34 @@ class StreamIngestSpec extends SparkSpec {
   }
 
 
+  test("sequenced batch replays old chain, rollback, and new chain in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-seqrb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-seqrbckpt").toString
+    val replacement =
+      s"""{"slot": 245000, "id": "${Fixture.hx("07", 32)}", "height": 2, "transactions": [
+         |  {"id": "${Fixture.hx("f0", 32)}", "fee": {"ada": {"lovelace": 5}}, "inputs": [],
+         |   "outputs": [{"address": "addr1s", "value": {"ada": {"lovelace": 1}}}]}
+         |]}""".stripMargin.replaceAll("\n", " ")
+    // ONE batch holding: good block, OLD-chain block (invalidated by the
+    // rollback that follows it), the rollback, the replacement chain
+    source.addData(
+      (0L, Fixture.block1),           // slot 100 — survives
+      (1L, Fixture.block2),           // slot 250000 — old chain, must NOT survive
+      (2L, """{"rollback": {"slot": 240000}}"""),
+      (3L, replacement))              // slot 245000 — new chain
+    val q = StreamIngest.start(source.toDF().toDF("seq", "json"), base, ckpt,
+      seqCol = Some("seq"))
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+
+    val slots = spark.read.parquet(s"$base/tx")
+      .select("slot").collect().map(_.getLong(0)).sorted.toSeq
+    assert(slots === Seq(100L, 245000L),
+      "old-chain block before the rollback must be truncated away")
+  }
+
   test("stream-stream interval join matches effects within the lag window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
