@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ArrayDot(exprs(0), exprs(1)), classOf[ArrayDot]))
     ext.injectFunction(fn("array_count_in",
       ArrayCountIn.fromExprs, classOf[ArrayCountIn]))
+    ext.injectFunction(fn("topk_agg",
+      graft.functions.TopKAgg.fromExprs, classOf[graft.functions.TopKAgg]))
     // slot predicates → slot_group partition pruning (SURVEY.md §4)
     ext.injectOptimizerRule(_ =>
       graft.plans.SlotGroupPruning(graft.ingest.CardanoWriter.SlotGroupSize))

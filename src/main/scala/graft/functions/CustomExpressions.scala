@@ -233,6 +233,19 @@ object CustomFunctions {
       "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "array_count_in", ArrayCountIn.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction(
+      "topk_agg", TopKAgg.fromExprs, "built-in")
+  }
+}
+
+object TopKAgg {
+  /** SQL/call_function builder: `topk_agg(struct(ord, id), k)` with a
+    * foldable integer k.
+    */
+  def fromExprs(exprs: Seq[Expression]): TopKAgg = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "topk_agg(struct(ord, id), k) requires a literal k")
+    TopKAgg(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
   }
 }
 
@@ -253,6 +266,105 @@ object ArrayCountIn {
       .map(data.getUTF8String(_).toString)
     ArrayCountIn(exprs.head, markers)
   }
+}
+
+/** Grouped top-k as a SINGLE-PASS bounded-heap aggregate: over rows of
+  * `struct(ord: double, id: long)`, keeps the k largest by
+  * (ord DESC, id ASC) and emits them rank-ordered. The scale answer to
+  * "top k per group": the window idiom (`row_number` over a partition
+  * ORDER BY) sorts every group's full row set — O(N log N) per group
+  * and a mandatory full shuffle of all rows — while this aggregate is
+  * O(N log k) with MAP-SIDE partial aggregation: each partition reduces
+  * every group to ≤ k entries before the shuffle, so only k·groups
+  * rows ever move. The grouped twin of Spark's global
+  * TakeOrderedAndProject.
+  */
+case class TopKAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+    with UnaryLike[Expression] {
+
+  require(k > 0, "topk_agg requires k > 0")
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
+
+  // (ord DESC, id ASC): entry a beats entry b
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ord", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Buf = new Buf(k + 1)
+
+  private def insert(buf: Buf, e: (Double, Long)): Buf = {
+    if (buf.length < k) {
+      buf += e
+    } else {
+      // replace the current worst if the new entry beats it
+      var worst = 0
+      var i = 1
+      while (i < buf.length) {
+        if (beats(buf(worst), buf(i))) worst = i
+        i += 1
+      }
+      if (beats(e, buf(worst))) buf(worst) = e
+    }
+    buf
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val row = v.asInstanceOf[InternalRow]
+      if (row.isNullAt(0) || row.isNullAt(1)) buf
+      else insert(buf, (row.getDouble(0), row.getLong(1)))
+    }
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreach(e => insert(b1, e))
+    b1
+  }
+
+  override def eval(buf: Buf): Any = {
+    val sorted = buf.sortWith(beats)
+    new GenericArrayData(sorted.map { case (ord, id) =>
+      InternalRow(ord, id)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 16)
+    bb.putInt(buf.length)
+    buf.foreach { case (ord, id) => bb.putDouble(ord); bb.putLong(id) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf(n + 1)
+    var i = 0
+    while (i < n) { buf += ((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKAgg =
+    copy(child = newChild)
+  override def prettyName: String = "topk_agg"
 }
 
 /** Occurrence-weighted membership count: how many elements of an

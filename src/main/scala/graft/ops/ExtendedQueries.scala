@@ -349,5 +349,38 @@ object ExtendedQueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25)
+  // ---------------------------------------------------------------------
+  // q26 — grouped top-k via the native bounded-heap aggregate (TopKAgg):
+  // top-3 orders by value per customer. The window idiom the oracle uses
+  // (row_number over each customer ORDER BY price) sorts every group's
+  // FULL row set and shuffles every row; topk_agg is a
+  // TypedImperativeAggregate, so map-side partial aggregation reduces
+  // each partition to ≤ k entries per customer BEFORE the shuffle —
+  // O(N log k), and only k·customers rows cross the wire. The grouped
+  // twin of Spark's global TakeOrderedAndProject, and the pattern for
+  // any per-entity leaderboard at 100 TB.
+  // ---------------------------------------------------------------------
+  val q26 = Q("q26_grouped_topk",
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders)
+      |SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY o_custkey, rank""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.CustomFunctions
+    CustomFunctions.register(spark)
+    table(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(call_function("topk_agg",
+        struct(col("o_totalprice").as("ord"), col("o_orderkey").as("id")),
+        lit(3)).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("o_orderkey"), col("col.ord").as("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+  }
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
 }

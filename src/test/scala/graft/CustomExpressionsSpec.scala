@@ -86,6 +86,35 @@ class CustomExpressionsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("topk_agg equals the window row_number idiom and is partition-stable") {
+    CustomFunctions.register(spark)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    def viaAgg(parts: Int) = orders.repartition(parts)
+      .groupBy("o_custkey")
+      .agg(call_function("topk_agg",
+        struct(col("o_totalprice").as("ord"), col("o_orderkey").as("id")),
+        lit(3)).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).as("rank"),
+        col("col.id").as("o_orderkey"), col("col.ord").as("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(viaAgg(1) === viaWindow)
+    // partial-aggregation merge across many partitions changes nothing
+    assert(viaAgg(8) === viaWindow)
+    assert(viaWindow.nonEmpty)
+  }
+
   test("simhash64: single-feature signature is the feature hash; merge is partition-stable") {
     CustomFunctions.register(spark)
     val h = -3141592653589793238L
