@@ -382,5 +382,55 @@ object ExtendedQueries {
       .orderBy("o_custkey", "rank")
   }
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+  // ---------------------------------------------------------------------
+  // q27 — PIVOT (§2.4: no pivot in the reference): order counts and
+  // exact-decimal value totals per nation, pivoted across the five
+  // order-priority classes. Spark's `groupBy().pivot(col, values)` with
+  // EXPLICIT pivot values — at 100 TB never let pivot infer its column
+  // set (that's an extra distinct scan AND a nondeterministic schema);
+  // a declared value list keeps the plan a single pass. The oracle
+  // expresses the same relation portably as CASE-filtered aggregates —
+  // which is also exactly what Catalyst lowers pivot to.
+  // ---------------------------------------------------------------------
+  private val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  val q27 = Q("q27_pivot", {
+    val cols = prios.map { p =>
+      val key = p.split("-")(0) // stable short column suffix: 1..5
+      s"""  COUNT(CASE WHEN o.o_orderpriority = '$p' THEN 1 END) AS cnt_$key,
+         |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '$p'
+         |    THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sum_$key""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT c.c_nationkey,
+       |$cols
+       |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+  }) { (spark, dir) =>
+    import graft.functions.Functions.dec
+    val joined = table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+    val pivoted = joined
+      .groupBy("c_nationkey")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).as("sum"))
+    // pivot names columns "<value>_cnt"/"<value>_sum"; project to the
+    // oracle's stable names and exact-decimal zero for empty cells
+    val out = prios.foldLeft(pivoted) { (df, p) =>
+      val key = p.split("-")(0)
+      df.withColumn(s"cnt_$key", coalesce(col(s"`${p}_cnt`"), lit(0L)))
+        .withColumn(s"sum_$key",
+          coalesce(col(s"`${p}_sum`"), lit(BigDecimal(0)).cast("decimal(38,6)"))
+            .cast("double"))
+    }
+    out.select(col("c_nationkey") +:
+        prios.flatMap { p =>
+          val key = p.split("-")(0)
+          Seq(col(s"cnt_$key"), col(s"sum_$key"))
+        }: _*)
+      .orderBy("c_nationkey")
+  }
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }

@@ -222,13 +222,18 @@ object VectorQueries {
   val s03 = Q.noOracle("s03_ann_ivf_probed") { (spark, dir) =>
     val cs = trainedCentroids(spark, dir)
     val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
+    // one probe ROW per (query, probed cell): the OR-condition join
+    // (cell = cell1 OR cell = cell2) would plan a nested loop; exploding
+    // the probe list turns it into a plain hash join on the cell id —
+    // the shape that scales to any probe count and corpus size
+    // (PlanQualitySpec pins the absence of nested-loop joins here)
     val q = vectors(spark, dir).filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        element_at(cellRanking(col("v"), cs), 1).getField("i").as("cell1"),
-        element_at(cellRanking(col("v"), cs), 2).getField("i").as("cell2"))
+        explode(slice(transform(cellRanking(col("v"), cs), _.getField("i")),
+          1, 2)).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     broadcast(q)
-      .join(e, col("cell") === col("cell1") || col("cell") === col("cell2"))
+      .join(e, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
