@@ -432,5 +432,74 @@ object ExtendedQueries {
       .orderBy("c_nationkey")
   }
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+  // ---------------------------------------------------------------------
+  // q28 — UNPIVOT/melt (the inverse reshape of q27): region-level
+  // customer statistics laid out wide (count, total balance, max
+  // balance), melted to (nation, stat, value) long form — the tidy shape
+  // feeding ML/reporting consumers. Spark's native `unpivot` is a
+  // zero-shuffle Expand over the aggregate; the oracle mirrors it
+  // portably as the UNION ALL of one projection per stat (what melt
+  // lowers to relationally).
+  // ---------------------------------------------------------------------
+  val q28 = Q("q28_unpivot",
+    """WITH agg AS (
+      |  SELECT c_nationkey,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_customers,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+      |    MAX(c_acctbal) AS max_bal
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_nationkey, stat, value FROM (
+      |  SELECT c_nationkey, 'n_customers' AS stat, n_customers AS value FROM agg
+      |  UNION ALL
+      |  SELECT c_nationkey, 'total_bal' AS stat, total_bal AS value FROM agg
+      |  UNION ALL
+      |  SELECT c_nationkey, 'max_bal' AS stat, max_bal AS value FROM agg)
+      |ORDER BY c_nationkey, stat""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.Functions.dec
+    table(spark, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .unpivot(Array(col("c_nationkey")),
+        Array(col("n_customers"), col("total_bal"), col("max_bal")),
+        "stat", "value")
+      .orderBy("c_nationkey", "stat")
+  }
+
+  // ---------------------------------------------------------------------
+  // q29 — the ranking-function family (§2.5: the reference has no window
+  // functions at all): rank, dense_rank, quartile (ntile), percent_rank
+  // and cume_dist over each nation's customers by balance, one shared
+  // window spec → ONE partition shuffle + sort serves all five. The
+  // ratio functions are exact small-integer quotients ((rank−1)/(n−1),
+  // peers/n), identical IEEE division in both engines.
+  // ---------------------------------------------------------------------
+  val q29 = Q("q29_window_ranks",
+    """SELECT c_custkey, c_nationkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+    q28, q29)
 }
