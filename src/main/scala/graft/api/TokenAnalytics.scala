@@ -155,6 +155,32 @@ object TokenAnalytics {
       concat_ws(";", col("input_addr_set")).as("input_addr_set"),
       concat_ws(";", col("output_addr_set")).as("output_addr_set"))
 
+  /** One ownership-changing transaction — the typed row of
+    * [[findTokenTransfersTyped]].
+    */
+  final case class TokenTransfer(
+      slot: Long,
+      tx_id: Array[Byte],
+      tx_fee: Long,
+      input_addr_set: Option[Seq[String]],
+      output_addr_set: Option[Seq[String]])
+
+  /** The flagship as a typed `Dataset[TokenTransfer]` — the
+    * case-class-Encoder surface for callers that want compile-time
+    * field safety over the transfer frame (downstream Scala pipelines,
+    * not SQL). Same plan as [[findTokenTransfers]]; the Encoder maps
+    * columns by name, and the NULL input set of a mint becomes None.
+    */
+  def findTokenTransfersTyped(tx: DataFrame, asset: DataFrame,
+      policyIdHex: String, assetNameHex: Option[String],
+      minSlot: Option[Long] = None, maxSlot: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[TokenTransfer] = {
+    val df = findTokenTransfers(tx, asset, policyIdHex, assetNameHex,
+      minSlot, maxSlot)
+    import df.sparkSession.implicits._
+    df.as[TokenTransfer]
+  }
+
   /** Per-transfer-type fee breakdown — the reference's conditional
     * `transfer_type` groupby (/root/reference/token_fee_analysis.py:
     * 317-325; its own query never materializes the column, so the

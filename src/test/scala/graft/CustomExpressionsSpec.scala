@@ -115,6 +115,31 @@ class CustomExpressionsSpec extends SparkSpec {
     assert(viaWindow.nonEmpty)
   }
 
+  test("topk_agg matches reference sort-take on random tie-heavy data, every k") {
+    CustomFunctions.register(spark)
+    val rnd = new scala.util.Random(12345)
+    // small value domain → many (ord) ties, exercising the id tiebreak
+    val data = (1L to 300L).map(i => (i % 7, rnd.nextInt(5).toDouble, i))
+    val df = data.toDF("grp", "ord", "id")
+    Seq(1, 3, 10).foreach { k =>
+      val got = df.repartition(5)
+        .groupBy("grp")
+        .agg(call_function("topk_agg",
+          struct(col("ord"), col("id")), lit(k)).as("top"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      val expected = data.groupBy(_._1).view.mapValues(
+        _.map(t => (t._2, t._3))
+          .sortBy { case (ord, id) => (-ord, id) }
+          .take(k).toSeq).toMap
+      expected.foreach { case (g, exp) =>
+        assert(got(g) === exp, s"k=$k group=$g")
+      }
+    }
+  }
+
   test("simhash64: single-feature signature is the feature hash; merge is partition-stable") {
     CustomFunctions.register(spark)
     val h = -3141592653589793238L

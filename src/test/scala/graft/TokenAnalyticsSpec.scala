@@ -128,6 +128,16 @@ class TokenAnalyticsSpec extends SparkSpec {
     assert(stats.totalFeesLovelace === 550000L)
   }
 
+  test("typed Dataset surface maps transfers to case classes, mint input set = None") {
+    val ds = TokenAnalytics.findTokenTransfersTyped(tx, asset, policy, Some(tokenHex))
+    val byTx = ds.collect().map(t => hex(t.tx_id) -> t).toMap
+    assert(byTx.keySet === Set(txA, txD))
+    assert(byTx(txA).input_addr_set === None) // mint
+    assert(byTx(txA).output_addr_set === Some(Seq("addr1tok")))
+    assert(byTx(txD).input_addr_set === Some(Seq("addr1tok")))
+    assert(byTx(txD).tx_fee === 200000L)
+  }
+
   test("transferTypeBreakdown splits mint (null input set) from transfer") {
     val transfers = TokenAnalytics.findTokenTransfers(tx, asset, policy, Some(tokenHex))
     val rows = TokenAnalytics.transferTypeBreakdown(transfers).collect()
