@@ -18,6 +18,11 @@ import graft.io.Tables
   *     cursor semantics (ogmios_parquet.py:635-651).
   *   query <tablesDir> [minFeeLovelace]   the high-fee report: top-100
   *     transactions by fee plus the 4-way fee aggregate
+  *   compact <tablesDir> [--target-bytes <n>]   merge each slot group's
+  *     accumulated micro-batch files (the reference's merge phase)
+  *   rollback <tablesDir> <slot>   truncate every table to slot <= N
+  *     (manual chain-reorg remedy; the streaming path applies this
+  *     automatically on rollback messages)
   *   token <tablesDir> <name | policyIdHex assetNameHex> [minSlot] [maxSlot]
   *         [--output <csvDir>]
   *     token ownership-transfer analysis + fee statistics. The first
@@ -98,6 +103,30 @@ object Main {
         case _ => usage()
       }
 
+    case "compact" :: rest =>
+      val (pos, flags) = splitArgsOrUsage(rest, Set("target-bytes"))
+      pos match {
+        case tablesDir :: Nil =>
+          val spark = session()
+          val target = flags.get("target-bytes").map(_.toLong)
+            .getOrElse(128L * 1024 * 1024)
+          Extract.tableNames.foreach { t =>
+            CardanoWriter.compact(spark, tablesDir, t, target)
+            println(s"compacted $t")
+          }
+          spark.stop()
+        case _ => usage()
+      }
+
+    case "rollback" :: tablesDir :: slotArg :: Nil if slotArg.toLongOption.isDefined =>
+      val spark = session()
+      val slot = slotArg.toLong
+      Extract.tableNames.foreach { t =>
+        CardanoWriter.rollbackTo(spark, tablesDir, t, slot)
+        println(s"rolled back $t to slot <= $slot")
+      }
+      spark.stop()
+
     case "query" :: tablesDir :: rest if rest.length <= 1 =>
       val spark = session()
       val minFee = rest.headOption.map(_.toLong).getOrElse(2000000L)
@@ -162,7 +191,9 @@ object Main {
       """usage:
         |  graft.Main extract <blockJsonDir> <tablesDir> [--from <preset|slot>] [--to <preset|slot>]
         |  graft.Main query <tablesDir> [minFeeLovelace]
-        |  graft.Main token <tablesDir> <name | policyIdHex assetNameHex> [minSlot] [maxSlot] [--output <csvDir>]""".stripMargin)
+        |  graft.Main token <tablesDir> <name | policyIdHex assetNameHex> [minSlot] [maxSlot] [--output <csvDir>]
+        |  graft.Main compact <tablesDir> [--target-bytes <n>]
+        |  graft.Main rollback <tablesDir> <slot>""".stripMargin)
     sys.exit(2)
   }
 }

@@ -283,10 +283,12 @@ object ExtendedQueries {
   // ⌈p·n⌉-th smallest (lower discrete quantile, deterministic
   // tiebreak). No quantile UDAF needed, and the selected values are
   // EXISTING data values (no interpolation arithmetic) so Spark and
-  // DuckDB agree bit-for-bit. At 100 TB the sketch path
-  // (approx_percentile, t-digest) replaces this when a full sort
-  // per group is too hot; the selection pattern here costs exactly one
-  // hash-partitioned sort — the same shuffle any per-group window pays.
+  // DuckDB agree bit-for-bit. Scale honesty: the window partitions by a
+  // LOW-cardinality key (5 priority classes), so each group's sort is
+  // one task — exact ordered selection is for many-groups/modest-group
+  // cases; with few huge groups the sketch path (approx_percentile,
+  // t-digest — error-bounded vs this exact answer in ExtendedSpec)
+  // takes over at 100 TB.
   // ---------------------------------------------------------------------
   val q24 = Q("q24_group_quantiles",
     """WITH ranked AS (
