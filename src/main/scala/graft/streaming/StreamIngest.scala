@@ -123,9 +123,17 @@ object StreamIngest {
     * lets two unbounded streams join with bounded memory (an unbounded
     * condition would hold every row forever). Batch twin: q21's as-of
     * join family.
+    *
+    * joinType `left_outer` additionally emits every UNMATCHED cause
+    * with null effect columns — but only once the watermark passes the
+    * cause's lag window (before that, a match could still arrive), the
+    * semantics that make streaming outer joins correct rather than
+    * eager-and-wrong.
     */
   def correlate(cause: DataFrame, effect: DataFrame,
-      maxLagMinutes: Int): DataFrame = {
+      maxLagMinutes: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "leftouter").contains(joinType.toLowerCase.replace("_", "")),
+      s"correlate supports inner/left_outer, not '$joinType'")
     val c = cause
       .select(col("user_id"), col("ts").as("cause_ts"),
         col("event_type").as("cause_type"))
@@ -137,7 +145,8 @@ object StreamIngest {
     c.join(e,
       col("user_id") === col("e_user") &&
         col("effect_ts") >= col("cause_ts") &&
-        col("effect_ts") <= col("cause_ts") + expr(s"INTERVAL $maxLagMinutes MINUTES"))
+        col("effect_ts") <= col("cause_ts") + expr(s"INTERVAL $maxLagMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("cause_ts"), col("cause_type"),
         col("effect_ts"), col("effect_type"))
   }

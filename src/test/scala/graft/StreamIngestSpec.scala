@@ -187,6 +187,38 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === Set((1L, "click", "buy")))
   }
 
+  test("left-outer stream-stream join emits unmatched causes once the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamIngest.correlate(
+      clicks.toDF().toDF("user_id", "ts", "event_type"),
+      buys.toDF().toDF("user_id", "ts", "event_type"),
+      maxLagMinutes = 10, joinType = "left_outer")
+
+    val q = joined.writeStream
+      .format("memory").queryName("louter_sink").outputMode("append")
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    clicks.addData((1L, t("2024-01-01 10:00:00"), "click"),
+      (2L, t("2024-01-01 10:01:00"), "click"))
+    buys.addData((1L, t("2024-01-01 10:05:00"), "buy"))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past user 2's lag window so the
+    // unmatched click can finalize as a null-joined row
+    clicks.addData((9L, t("2024-01-01 13:00:00"), "click"))
+    buys.addData((9L, t("2024-01-01 13:00:00"), "buy"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("louter_sink")
+      .select("user_id", "cause_type", "effect_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got.contains((1L, "click", Some("buy"))))
+    assert(got.contains((2L, "click", None)),
+      "unmatched cause should emit with null effect after watermark")
+  }
+
   test("streaming dedup admits first occurrence, drops in-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, Long, String)]
