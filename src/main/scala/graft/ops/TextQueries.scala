@@ -316,5 +316,27 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, p01, p02, p03)
+  // ---------------------------------------------------------------------
+  // t05 — corpus heavy hitters: the top-20 most frequent tokens, the
+  // boilerplate-detection primitive (the tokens a df-cut or stopword
+  // list would be built from). Plan: explode → hash-agg with MAP-SIDE
+  // partial counts (each partition reduces to its distinct tokens
+  // before the shuffle) → 20-row TakeOrderedAndProject. The canonical
+  // word-count; at 100 TB this exact plan holds while distinct tokens
+  // fit the aggregate hash maps — past that, a count-min sketch
+  // replaces the exact counts, same two-phase shape.
+  // ---------------------------------------------------------------------
+  val t05 = Q("t05_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+      |ORDER BY freq DESC, tok LIMIT 20""".stripMargin
+  ) { (spark, dir) =>
+    table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, p01, p02, p03)
 }
