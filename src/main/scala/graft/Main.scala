@@ -107,9 +107,14 @@ object Main {
       val (pos, flags) = splitArgsOrUsage(rest, Set("target-bytes"))
       pos match {
         case tablesDir :: Nil =>
+          val target = flags.get("target-bytes") match {
+            case None => 128L * 1024 * 1024
+            case Some(v) => v.toLongOption.filter(_ > 0).getOrElse {
+              System.err.println(s"--target-bytes must be a positive integer, got '$v'")
+              usage()
+            }
+          }
           val spark = session()
-          val target = flags.get("target-bytes").map(_.toLong)
-            .getOrElse(128L * 1024 * 1024)
           Extract.tableNames.foreach { t =>
             CardanoWriter.compact(spark, tablesDir, t, target)
             println(s"compacted $t")

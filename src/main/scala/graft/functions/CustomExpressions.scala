@@ -240,12 +240,15 @@ object CustomFunctions {
 
 object TopKAgg {
   /** SQL/call_function builder: `topk_agg(struct(ord, id), k)` with a
-    * foldable integer k.
+    * foldable non-null integer k.
     */
   def fromExprs(exprs: Seq[Expression]): TopKAgg = {
     require(exprs.length == 2 && exprs(1).foldable,
       "topk_agg(struct(ord, id), k) requires a literal k")
-    TopKAgg(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    val kv = exprs(1).eval()
+    require(kv != null && kv.isInstanceOf[Number],
+      s"topk_agg k must be a non-null integer literal, got $kv")
+    TopKAgg(exprs.head, kv.asInstanceOf[Number].intValue())
   }
 }
 
@@ -284,16 +287,40 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+    extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]]
     with UnaryLike[Expression] {
 
   require(k > 0, "topk_agg requires k > 0")
 
-  private type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
+  private type Buf = java.util.PriorityQueue[(Double, Long)]
 
-  // (ord DESC, id ASC): entry a beats entry b
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Goodness total order: higher ord beats lower, ties broken by
+    * smaller id. `Double.compare` (not `>`) so NaN participates in a
+    * TOTAL order (sorted as largest, matching Spark's double sort) —
+    * with raw comparisons a NaN entry would be incomparable and lodge
+    * in the buffer forever.
+    */
+  private def cmp(a: (Double, Long), b: (Double, Long)): Int = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+  }
+
+  // min-heap on goodness: the WORST surviving entry is at the head, so
+  // each insert past k is one peek + O(log k) sift — the real heap
+  // bound, not a linear scan
+  private def newHeap(): Buf =
+    new java.util.PriorityQueue[(Double, Long)](k + 1,
+      (a: (Double, Long), b: (Double, Long)) => cmp(a, b))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StructType(Array(f0, f1))
+          if f0.dataType == DoubleType && f1.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_agg requires struct<ord: double, id: bigint>, got ${other.simpleString(10)}")
+    }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -302,21 +329,11 @@ case class TopKAgg(
     containsNull = false)
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): Buf = new Buf(k + 1)
+  override def createAggregationBuffer(): Buf = newHeap()
 
   private def insert(buf: Buf, e: (Double, Long)): Buf = {
-    if (buf.length < k) {
-      buf += e
-    } else {
-      // replace the current worst if the new entry beats it
-      var worst = 0
-      var i = 1
-      while (i < buf.length) {
-        if (beats(buf(worst), buf(i))) worst = i
-        i += 1
-      }
-      if (beats(e, buf(worst))) buf(worst) = e
-    }
+    if (buf.size < k) buf.offer(e)
+    else if (cmp(e, buf.peek()) > 0) { buf.poll(); buf.offer(e) }
     buf
   }
 
@@ -331,30 +348,35 @@ case class TopKAgg(
   }
 
   override def merge(b1: Buf, b2: Buf): Buf = {
-    b2.foreach(e => insert(b1, e))
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
     b1
   }
 
   override def eval(buf: Buf): Any = {
-    val sorted = buf.sortWith(beats)
-    new GenericArrayData(sorted.map { case (ord, id) =>
+    val arr = buf.toArray(new Array[(Double, Long)](buf.size))
+    java.util.Arrays.sort(arr, (a: (Double, Long), b: (Double, Long)) => cmp(b, a))
+    new GenericArrayData(arr.map { case (ord, id) =>
       InternalRow(ord, id)
     }.toArray[Any])
   }
 
   override def serialize(buf: Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.length * 16)
-    bb.putInt(buf.length)
-    buf.foreach { case (ord, id) => bb.putDouble(ord); bb.putLong(id) }
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (ord, id) = it.next(); bb.putDouble(ord); bb.putLong(id)
+    }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new Buf(n + 1)
+    val buf = newHeap()
     var i = 0
-    while (i < n) { buf += ((bb.getDouble, bb.getLong)); i += 1 }
+    while (i < n) { buf.offer((bb.getDouble, bb.getLong)); i += 1 }
     buf
   }
 

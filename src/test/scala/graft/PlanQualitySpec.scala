@@ -9,11 +9,14 @@ import graft.ops.{CoreQueries, ExtendedQueries}
   */
 class PlanQualitySpec extends SparkSpec {
 
-  private def executedPlan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
-    df.collect() // AQE: the final plan only exists after execution
-    df.queryExecution.executedPlan.toString
-  }
+  private val planCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def executedPlan(name: String): String =
+    planCache.getOrElseUpdate(name, {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // AQE: the final plan only exists after execution
+      df.queryExecution.executedPlan.toString
+    })
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     // s01 broadcasts a bounded query batch against the corpus and d04
