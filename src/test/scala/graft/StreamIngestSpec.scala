@@ -249,6 +249,36 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === Set((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
   }
 
+  test("sessionize closes an out-of-order early event as its own session, not merged") {
+    import graft.streaming.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[SessionEvent]
+    // gap (5 min) SHORTER than the watermark delay (10 min), so an
+    // out-of-order event can be within the watermark yet further than
+    // the gap before the open session's start
+    val sessions = StreamIngest.sessionize(source.toDS(), gapMs = 5 * 60 * 1000L)
+    val q = sessions.writeStream
+      .format("memory").queryName("early_sink").outputMode("append")
+      .start()
+    def ev(u: Long, t: String) = SessionEvent(u, Timestamp.valueOf(t), "e")
+    // open session [10:09, 10:10] for user 7; watermark advances to 10:00
+    source.addData(ev(7, "2024-01-01 10:09:00"), ev(7, "2024-01-01 10:10:00"))
+    q.processAllAvailable()
+    // 10:01 is within the watermark (≥ 10:00) but 10:01 + gap < 10:09:
+    // must close as its own single-event session (the q22 batch twin
+    // would), not inflate the open one
+    source.addData(ev(7, "2024-01-01 10:01:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("early_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((7L, 1L, 0L)),
+      s"early event should close as its own session; got $got")
+    // the open session did NOT absorb it (no 9-minute-long emission)
+    assert(!got.exists { case (u, _, dur) => u == 7L && dur > 5 * 60 * 1000L })
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on watermark") {
     import graft.streaming.{SessionEvent, SessionOut}
     implicit val sqlCtx = spark.sqlContext

@@ -89,6 +89,20 @@ class TokenAnalyticsSpec extends SparkSpec {
     assert(stats === TokenAnalytics.TokenFeeStats(0L, 0L, 0.0, None, None))
   }
 
+  test("registry internal consistency: asset units = token policy ++ asset name") {
+    import graft.api.Registry
+    // the KNOWN_ASSETS units (config.py:88-92) are the concatenated
+    // (policy id ++ asset name) of the corresponding KNOWN_TOKENS entry
+    Seq("snek", "hosky").foreach { name =>
+      val t = Registry.KnownTokens(name)
+      assert(Registry.KnownAssets(name) === t.policyIdHex + t.assetNameHex, name)
+      assert(t.policyIdHex.length === 56, s"$name: policy id must be 28 bytes")
+      assert(t.policyIdHex.matches("[0-9a-f]+") && t.assetNameHex.matches("[0-9a-f]+"))
+    }
+    assert(Registry.KnownAssets("ada") === "") // ADA is the empty unit
+    Registry.KnownAddresses.values.foreach(a => assert(a.startsWith("addr1")))
+  }
+
   test("named-token registry resolves hosky/snek case-insensitively; unknown → None") {
     import graft.api.Registry
     val hosky = Registry.tokenInfo("HOSKY")
