@@ -316,6 +316,10 @@ object DedupQueries {
     // build/slice/explode round-trip
     val byG = Window.partitionBy("g")
     val byDoc = Window.partitionBy("doc_id")
+    // cached: the prefix relation feeds BOTH sides of the candidate
+    // self-join, and a self-join recomputes its subtree per side — the
+    // two window sorts over the full shingle relation are the dominant
+    // d06 cost, so compute them once
     val prefixes = grams
       .withColumn("df", count(lit(1)).over(byG))
       .withColumn("h", xxhash64(col("g")))
@@ -323,6 +327,7 @@ object DedupQueries {
       .withColumn("sz", count(lit(1)).over(byDoc))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("df"), col("h"))
+      .cache()
     prefixes.toDF("a", "dfa", "ha")
       .join(prefixes.toDF("b", "dfb", "hb"),
         col("ha") === col("hb") && col("dfa") === col("dfb") && col("a") < col("b"))
