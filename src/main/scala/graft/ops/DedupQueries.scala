@@ -219,6 +219,9 @@ object DedupQueries {
             slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)),
             _.cast("string")))).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      // cached: both sides of the bucket self-join would otherwise
+      // recompute the MinHash aggregation over every shingle
+      .cache()
     val candidates = bands.toDF("a", "band", "bh")
       .join(bands.toDF("b", "band2", "bh2"),
         col("band") === col("band2") && col("bh") === col("bh2") &&
@@ -260,6 +263,9 @@ object DedupQueries {
         "shiftright(sig, cast(i * 16 AS int)) & 65535 AS chunk))")).as("cc"))
       .select(col("doc_id"), col("sig"),
         col("cc.chunk_id").as("chunk_id"), col("cc.chunk").as("chunk"))
+      // cached: both sides of the chunk self-join would otherwise
+      // recompute the SimHash aggregation over every shingle
+      .cache()
     val candidates = chunks.toDF("a", "sig_a", "chunk_id", "chunk")
       .join(chunks.toDF("b", "sig_b", "chunk_id2", "chunk2"),
         col("chunk_id") === col("chunk_id2") && col("chunk") === col("chunk2") &&
