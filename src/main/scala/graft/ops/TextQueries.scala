@@ -338,5 +338,38 @@ object TextQueries {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, p01, p02, p03)
+  // ---------------------------------------------------------------------
+  // t06 — Count-Min sketch frequency estimation: the sketch that answers
+  // "how often does token X occur?" without materializing the full
+  // token→count table — the overflow path t05's scaladoc points to, and
+  // the third sketch family in the engine (after HLL q20 and
+  // MinHash/SimHash d03/d04). Spark's built-in `count_min_sketch`
+  // aggregate builds the sketch distributed (per-partition sketches
+  // merge by counter addition — commutative, so the result is
+  // deterministic for a fixed seed); only the KB-sized sketch reaches
+  // the driver, never the counts. Output: the exact top-20 tokens with
+  // their true and estimated frequencies. CMS guarantees
+  // est ≥ true and P(est ≤ true + ε·N) ≥ δ — sketch internals aren't
+  // SQL-expressible → rows-only; the spec pins both bounds.
+  // ---------------------------------------------------------------------
+  val cmEps = 0.001
+  val cmConfidence = 0.99
+
+  val t06 = Q.noOracle("t06_count_min") { (spark, dir) =>
+    val toks = table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketchBytes = toks
+      .agg(count_min_sketch(col("tok"), lit(cmEps), lit(cmConfidence), lit(42)))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cm = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val estimate = udf((tok: String) => cm.estimateCount(tok))
+    toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(20)
+      .withColumn("cm_estimate", estimate(col("tok")))
+      .orderBy(col("freq").desc, col("tok"))
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, p01, p02, p03)
 }

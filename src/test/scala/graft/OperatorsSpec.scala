@@ -144,6 +144,23 @@ class OperatorsSpec extends SparkSpec {
     assert(tiny.subsetOf(exact))
   }
 
+  test("t06 count-min estimates bound the true frequencies (one-sided, ε·N slack)") {
+    import graft.ops.TextQueries
+    val rows = TextQueries.t06.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val totalTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { case (tok, freq, est) =>
+      assert(est >= freq, s"$tok: CMS must never underestimate ($est < $freq)")
+      // the eps*N bound holds per query only with the configured
+      // confidence; 3x slack makes 20 assertions deterministic in CI
+      // while still pinning the estimates to the right magnitude
+      assert(est <= freq + 3 * math.ceil(TextQueries.cmEps * totalTokens).toLong + 3,
+        s"$tok: estimate $est far exceeds true $freq + eps*N")
+    }
+  }
+
   test("q07 array round-trip shape produces exactly the measured direct-join output") {
     val direct = graft.ops.CoreQueries.q07.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
