@@ -58,6 +58,9 @@ object Main {
       xs match {
         case f :: _ if f.startsWith("--") && !allowed.contains(f.drop(2)) =>
           Left(s"unknown flag $f (allowed: ${allowed.toSeq.sorted.map("--" + _).mkString(", ")})")
+        case f :: v :: _ if f.startsWith("--") && v.startsWith("--") =>
+          // `--from --to x` must not consume `--to` as from's value
+          Left(s"flag $f requires a value, got flag $v")
         case f :: v :: t if f.startsWith("--") => go(t, pos, flags + (f.drop(2) -> v))
         case f :: Nil if f.startsWith("--") => Left(s"flag $f requires a value")
         case x :: t => go(t, pos :+ x, flags)

@@ -261,6 +261,9 @@ object ArrayCountIn {
   def fromExprs(exprs: Seq[Expression]): ArrayCountIn = {
     require(exprs.length == 2 && exprs(1).foldable,
       "array_count_in(arr, markers) requires a literal marker array")
+    require(exprs(1).dataType.isInstanceOf[ArrayType] &&
+        exprs(1).dataType.asInstanceOf[ArrayType].elementType == StringType,
+      s"array_count_in markers must be array<string>, got ${exprs(1).dataType.sql}")
     val evaluated = exprs(1).eval()
     require(evaluated != null, "array_count_in markers must not be NULL")
     val data = evaluated.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

@@ -104,14 +104,25 @@ object CardanoWriter {
     * crash point the data exists in full either at the target, at the
     * `.old` name, or in `tmp` (dot-prefixed dirs are invisible to
     * readers, but recoverable by hand) — never half-deleted.
+    *
+    * HDFS and object-store FileSystems signal rename failure by
+    * returning false rather than throwing, so each rename's result is
+    * checked and the swap aborts — leaving tmp and .old intact — before
+    * any delete could remove the only remaining copy of the partition.
     */
   private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(
       target.getParent, s".old_${target.getName}")
     fs.delete(old, true) // clear any leftover from a previous crash
-    fs.rename(target, old)
-    fs.rename(tmp, target)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(
+        s"swapIn: rename $target -> $old failed; aborting before any delete")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // best-effort restore of the original
+      throw new java.io.IOException(
+        s"swapIn: rename $tmp -> $target failed; original restored from $old")
+    }
     fs.delete(old, true)
   }
 

@@ -53,14 +53,20 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val rbSlot = get_json_object(col(jsonCol), "$.rollback.slot").cast("long")
         val nonRollback = batch.filter(rbSlot.isNull)
         corruptDir.foreach { dir =>
+          // per-batch subdir + overwrite makes the quarantine write
+          // idempotent under micro-batch retry: a replayed batch
+          // rewrites its own audit records instead of appending
+          // duplicates (the table appends below stay at-least-once —
+          // documented contract — but the audit channel must not
+          // inflate counts)
           Extract.corruptRecords(nonRollback, jsonCol)
             .select(col(jsonCol).cast("string"))
-            .write.mode("append").text(dir)
+            .write.mode("overwrite").text(s"$dir/batch=$batchId")
         }
         def rollback(point: Long): Unit =
           Extract.tableNames.foreach(t =>

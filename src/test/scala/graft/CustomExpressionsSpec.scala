@@ -84,6 +84,14 @@ class CustomExpressionsSpec extends SparkSpec {
         lit(null).cast("array<string>"), array(lit("x"))).as("n"))
       .collect()(0)
     assert(nullRow.isNullAt(0))
+    // wrong marker element type → clear plan-time error, not a CCE
+    val err = intercept[Exception] {
+      Seq(1).toDF("i")
+        .select(call_function("array_count_in",
+          array(lit("x")), array(lit(1), lit(2))).as("n"))
+        .collect()
+    }
+    assert(err.getMessage.contains("array<string>"), err.getMessage)
   }
 
   test("topk_agg equals the window row_number idiom and is partition-stable") {

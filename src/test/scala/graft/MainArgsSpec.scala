@@ -23,6 +23,12 @@ class MainArgsSpec extends AnyFunSuite {
     assert(Main.splitArgs(List("--verbose", "x"), Set("output")).isLeft)
   }
 
+  test("splitArgs never consumes a following flag as a value") {
+    // `--from --to x` is a missing value for --from, not from="--to"
+    assert(Main.splitArgs(List("a", "--from", "--to", "x"), Set("from", "to")).isLeft)
+    assert(Main.splitArgs(List("--output", "--output", "y"), Set("output")).isLeft)
+  }
+
   test("resolveTokenArgs: registry name, raw hex pair, and rejection of numeric policy") {
     val hosky = Main.resolveTokenArgs(List("/t", "hosky", "100", "200"))
     assert(hosky === Some(("/t",
