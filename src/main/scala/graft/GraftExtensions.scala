@@ -41,5 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // slot predicates → slot_group partition pruning (SURVEY.md §4)
     ext.injectOptimizerRule(_ =>
       graft.plans.SlotGroupPruning(graft.ingest.CardanoWriter.SlotGroupSize))
+    // native AS-OF JOIN physical operator (graft.plans.AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

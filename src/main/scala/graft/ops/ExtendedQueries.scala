@@ -185,6 +185,35 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q30 — the SAME as-of semantics through the native custom physical
+  // operator (graft.plans.AsOfJoinExec: LogicalPlan + SparkStrategy +
+  // SparkPlan, extension ladder rung (c)): one hash shuffle per side,
+  // one (key, ts) sort each, then a linear streaming merge per
+  // co-partition — vs q21's union + double-window idiom, which sorts
+  // probes and checkpoints TOGETHER and carries the checkpoint payload
+  // through the window. Same DuckDB ASOF LEFT JOIN oracle as q21, so
+  // the driver gate pins the custom exec's results bit-for-bit.
+  // ---------------------------------------------------------------------
+  val q30 = Q("q30_asof_native", q21.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Functions.tsUs
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        tsUs(col("ts")).as("ts_us"))
+    val dedup = Window.partitionBy("user_id", "ts_us").orderBy(col("event_id").desc)
+    val cp = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(dedup))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("cp_user"), col("ts_us").as("cp_ts"),
+        col("event_id").as("cp_event_id"), col("value").as("cp_value"))
+    graft.plans.AsOf.join(ev.select("user_id", "event_id", "ts_us"), cp,
+        Seq("user_id"), Seq("cp_user"), "ts_us", "cp_ts")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("cp_event_id"), col("cp_value"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------------
   // q22 — batch sessionization, the relational twin of the streaming
   // flatMapGroupsWithState sessionize: a new session starts where the
   // gap to the previous event exceeds 30 min; session id = running sum
@@ -503,5 +532,5 @@ object ExtendedQueries {
   }
 
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29)
+    q28, q29, q30)
 }
