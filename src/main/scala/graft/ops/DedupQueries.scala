@@ -372,6 +372,83 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------------
+  // d07 — duplicate-CLUSTER assignment: connected components over the
+  // near-dup pair graph (the step every real dedup pipeline runs after
+  // pair generation — pairs alone can't answer "keep one per group"
+  // when A~B and B~C but A≁C). Every document gets the minimum doc_id
+  // reachable through similarity edges as its cluster id; singletons
+  // are their own cluster. Implemented as iterative min-label
+  // propagation: each round is one edges⋈labels shuffle + one groupBy
+  // min — converges in O(component diameter) rounds (near-dup
+  // components are shallow: duplicates of a common source), with
+  // lineage truncated per round (localCheckpoint) so plans stay flat.
+  //
+  // 100 TB posture: this is the MapReduce-CC shape (cf. the
+  // large-star/small-star refinement, Kiveris et al., which halves
+  // round count at extreme diameters); state per round is one (doc,
+  // label) relation partitioned by doc — never collected. The driver
+  // loop only reads a per-round convergence COUNT (a scalar), the
+  // sanctioned driver-side use.
+  // ---------------------------------------------------------------------
+  val d07 = Q("d07_dedup_clusters",
+    s"""WITH RECURSIVE $trigramCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+       |edges AS (SELECT a, b FROM sim UNION ALL SELECT b AS a, a AS b FROM sim),
+       |reach(src, dst) AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM documents
+       |  UNION
+       |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, min(dst) AS cluster_id
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val grams = sharedGrams(spark, dir)
+    val sets = sharedGramSets(spark, dir)
+    val sim = exactJaccard(prefixCandidates(grams, jaccardThreshold), sets)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(
+      table(spark, dir, "documents").select("doc_id"), sim)
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation over an undirected pair graph: every node in
+    * `nodes` (one `doc_id` column) gets the minimum `doc_id` reachable
+    * through `pairs` (columns `a`, `b`; treated symmetric) as
+    * `cluster_id`; isolated nodes keep their own id. See d07's scaladoc
+    * for the round structure and 100 TB posture.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint() // materialize once; reused every round
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("doc_id")).agg(min(col("lbl")).as("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"),
+          (col("nbr") < col("lbl")).as("shrunk"))
+        .localCheckpoint()
+      changed = next.filter(col("shrunk")).count()
+      labels = next.select("doc_id", "lbl")
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Approximate-recall variant of the similarity join for corpora with
     * ubiquitous boilerplate: shingles occurring in more than `maxDf`
     * documents are dropped from the candidate index entirely (standard
@@ -398,5 +475,5 @@ object DedupQueries {
     exactJaccard(candidates, sets).filter(col("jaccard") >= threshold)
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07)
 }

@@ -144,6 +144,35 @@ class OperatorsSpec extends SparkSpec {
     assert(tiny.subsetOf(exact))
   }
 
+  test("d07 connected components: transitivity, symmetry, singletons") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3), pair 5-6 given reversed, 4 isolated
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("a", "b")
+    val got = DedupQueries.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("d07 cluster ids are component minima consistent with d02 pairs") {
+    val pairs = DedupQueries.d02.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupQueries.d07.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every similar pair shares a cluster, and each cluster id is the
+    // minimum doc_id among its members (so cluster ids are stable keys)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min, s"cluster $cid is not its members' min")
+    }
+    // docs in no pair are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot { case (d, _) => paired(d) }
+      .foreach { case (d, c) => assert(d === c, s"singleton $d got cluster $c") }
+  }
+
   test("t06 count-min estimates bound the true frequencies (one-sided, ε·N slack)") {
     import graft.ops.TextQueries
     val rows = TextQueries.t06.fn(spark, sf).collect()
