@@ -205,8 +205,8 @@ object VectorQueries {
         .fit(feats).clusterCenters.map(_.toArray)
     })
 
-  /** Drop the trained-index memo (see DedupQueries.invalidateCaches). */
-  def invalidateCaches(): Unit = centroidsMemo.clear()
+  /** Drop the trained-index memos (see DedupQueries.invalidateCaches). */
+  def invalidateCaches(): Unit = { centroidsMemo.clear(); pqMemo.clear() }
 
   /** (dot, cellId) structs for every centroid, descending-sorted so
     * element 1 is the best cell, element 2 the second probe.
@@ -244,5 +244,123 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, d05)
+  // ---------------------------------------------------------------------
+  // s04 — PRODUCT-QUANTIZED ANN (the memory-scale rung of the ladder:
+  // brute s01 → LSH s02 → IVF s03 → PQ s04): the 64-dim corpus is
+  // stored as 8 four-bit-sized codes (one per 8-dim subspace, 16
+  // centroids each, k-means-trained per subspace on the NORMALIZED
+  // vectors so inner product ≈ cosine), and queries scan codes with a
+  // precomputed per-(query, subspace, code) lookup table — the ADC
+  // (asymmetric distance computation) scan of Jégou et al.'s PQ. The
+  // per-row work is 8 array lookups + adds (pure codegen arithmetic, no
+  // vector math at scan time); the ADC shortlist (native TopKAgg
+  // bounded-heap aggregate — map-side partial, only shortlist-size rows
+  // per partition reach the shuffle) is then exact-re-ranked against
+  // the full vectors, so the emitted scores are true cosines and
+  // quantization error only affects shortlist membership.
+  //
+  // 100 TB posture: this is the shape that makes a 100 TB corpus
+  // scannable — 8 bytes/vector instead of 256, LUTs are O(Q·8·16)
+  // broadcast constants, the scan is embarrassingly parallel, and the
+  // codebook training amortizes (memoized per session here, persisted
+  // in a real deployment; train on a sample at scale). Codebooks are
+  // data-derived → rows-only; VectorPqSpec pins encode determinism,
+  // exactness of the re-ranked scores, and a recall floor vs s01.
+  // ---------------------------------------------------------------------
+  private val pqSubs = 8
+  private val pqSubDim = 8
+  private val pqCodes = 16
+  private val pqShortlistFactor = 10
+
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Array[Double]]]]
+
+  /** Per-subspace k-means codebooks, [sub][code][dim], trained once per
+    * (session, dir) on the unit-normalized vectors.
+    */
+  def trainedCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqMemo.getOrElseUpdate((spark, dir), {
+      val vn = vectors(spark, dir)
+        .select(transform(col("v"), x => x / col("nrm")).as("vn"))
+      (0 until pqSubs).toArray.map { s =>
+        val feats = vn.select(org.apache.spark.ml.functions.array_to_vector(
+          slice(col("vn"), s * pqSubDim + 1, pqSubDim)).as("features"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(pqCodes).setSeed(7L + s).setMaxIter(5)
+          .fit(feats).clusterCenters.map(_.toArray)
+      }
+    })
+
+  /** Nearest-centroid code for one subspace slice: argmin L2 ⇔ argmin
+    * (‖c‖²/2 − x·c), ties to the lowest code (ascending struct sort).
+    */
+  private def pqCodeOf(sub: Column, cb: Array[Array[Double]]): Column =
+    element_at(sort_array(array(cb.zipWithIndex.map { case (c, i) =>
+      struct((lit(c.map(x => x * x).sum / 2) - dot(sub, typedLit(c.toSeq))).as("nd"),
+        lit(i).as("i"))
+    }: _*)), 1).getField("i")
+
+  /** The full 8-code PQ encoding of a normalized vector column. */
+  def pqEncode(vn: Column, cbs: Array[Array[Array[Double]]]): Column =
+    array((0 until pqSubs).map(s =>
+      pqCodeOf(slice(vn, s * pqSubDim + 1, pqSubDim), cbs(s))): _*)
+
+  val s04 = Q.noOracle("s04_ann_pq_adc") { (spark, dir) =>
+    val cbs = trainedCodebooks(spark, dir)
+    val e = vectors(spark, dir)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), pqEncode(col("vn"), cbs).as("codes"))
+    // bounded query set → LUTs built driver-side from 10 rows (the
+    // sanctioned scalar/bounded collect, same contract as s01's
+    // broadcast query batch): lut[sub][code] = q_sub · centroid
+    val qRows = vectors(spark, dir).filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
+      .collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        val lut = (0 until pqSubs).map { s =>
+          cbs(s).map(c =>
+            c.indices.foldLeft(0.0)((acc, d) => acc + qv(s * pqSubDim + d) * c(d))).toSeq
+        }
+        (qid, lut)
+      }.toSeq
+    import spark.implicits._
+    val q = qRows.toDF("qid", "lut")
+    // ADC scan: 8 LUT lookups + adds per (query, vector) — no vector
+    // arithmetic at scan time
+    val adc = (0 until pqSubs)
+      .map(s => element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    // production PQ is two-stage: a WIDE approximate shortlist from the
+    // code scan (topK × pqShortlistFactor per query, bounded-heap agg),
+    // then EXACT re-rank of only those candidates against the full
+    // vectors — quantization error decides membership of a 50-set, not
+    // the final ranking, which is why coarse 4-bit codes still answer
+    // top-5 well. The re-rank join touches shortlist·Q rows, not N.
+    val shortlist = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adc.as("adc"))
+      .groupBy("qid")
+      .agg(call_function("topk_agg",
+        struct(col("adc").as("ord"), col("vec_id").as("id")),
+        lit(topK * pqShortlistFactor)).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    val full = vectors(spark, dir)
+    val qFull = full.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(full, "vec_id")
+      .join(broadcast(qFull), "qid")
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, d05)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorQueries
+
+/** Product-quantized ANN (s04): encoding determinism, ADC fidelity to
+  * the true cosine, and recall against the exact brute-force answer.
+  */
+class VectorPqSpec extends SparkSpec {
+
+  private def exactTop(dir: String): Map[Long, Seq[Long]] =
+    VectorQueries.s01.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
+
+  test("s04 PQ output is deterministic across invocations") {
+    val a = VectorQueries.s04.fn(spark, sf).collect().toSeq
+    val b = VectorQueries.s04.fn(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("s04 re-ranked scores are the true cosines (quantization only picks the shortlist)") {
+    val rows = VectorQueries.s04.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    rows.foreach { case (q, n, c) =>
+      assert(math.abs(c - cos(e(q), e(n))) < 1e-9, s"($q,$n): $c not the true cosine")
+    }
+  }
+
+  test("s04 recall@5 vs exact s01 clears the floor") {
+    val exact = exactTop(sf)
+    val pq = VectorQueries.s04.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = exact.map { case (q, top) =>
+      top.count(pq(q)).toDouble / top.length
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 = $mean (${recalls.mkString(", ")})")
+  }
+
+  test("pq codes are within range and codebooks have the declared shape") {
+    val cbs = VectorQueries.trainedCodebooks(spark, sf)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 8)))
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.ops.VectorQueries.dot(col("v"), col("v"))))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select(VectorQueries.pqEncode(col("vn"), cbs).as("codes"))
+    val bad = e.filter(exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+  }
+}
