@@ -531,6 +531,58 @@ object ExtendedQueries {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------------
+  // q31 — RANGE JOIN (interval containment) via bucket expansion: spike
+  // events (value ≥ 300) open 60-minute incident windows; every event
+  // inside a window joins it — a join with NO equi key, which Spark
+  // would otherwise plan as a BroadcastNestedLoopJoin (O(events ×
+  // windows), the classic range-join trap). The scale rewrite: quantize
+  // the time axis into buckets the size of the window, expand each
+  // interval to the ≤2 buckets it can overlap, tag each event with its
+  // single bucket, equi-join ON THE BUCKET, and re-check the exact
+  // range as a cheap residual filter. Candidates per event are bounded
+  // by the true windows in its bucket — at 100 TB the bucket id is an
+  // ordinary hash-shuffle key (and the small window side broadcasts
+  // here, so the probe is map-side). PlanQualitySpec's global
+  // no-cartesian/no-BNLJ check pins the plan shape.
+  // ---------------------------------------------------------------------
+  private val spikeThreshold = 300.0
+  private val windowNs = 60L * 60L * 1000000000L // 60 min on the ns axis
+
+  val q31 = Q("q31_range_bucket_join",
+    s"""WITH ev AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns FROM events),
+       |w AS (SELECT event_id AS window_id, ts_ns AS w_start FROM ev
+       |      WHERE value >= $spikeThreshold)
+       |SELECT w.window_id, w.w_start, count(*) AS n_events,
+       |  count(DISTINCT e.user_id) AS n_users,
+       |  CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       |FROM w JOIN ev e
+       |  ON e.ts_ns >= w.w_start AND e.ts_ns < w.w_start + $windowNs
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.Functions.{dec, tsUs}
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        tsUs(col("ts")).as("ts_ns"))
+    val windows = ev.filter(col("value") >= spikeThreshold)
+      .select(col("event_id").as("window_id"), col("ts_ns").as("w_start"))
+    // bucket size == window length ⇒ an interval overlaps at most the
+    // bucket containing its start and the next one. NB: integer `div`,
+    // not `/` — long / long is DOUBLE in Spark SQL, and the ns axis
+    // (~1.7e18) is beyond double's exact range.
+    val wb = windows.withColumn("bucket",
+      explode(array(expr(s"w_start div $windowNs"), expr(s"w_start div $windowNs") + 1)))
+    val eb = ev.withColumn("bucket", expr(s"ts_ns div $windowNs"))
+    eb.join(broadcast(wb), Seq("bucket"))
+      .filter(col("ts_ns") >= col("w_start") &&
+        col("ts_ns") < col("w_start") + windowNs)
+      .groupBy("window_id", "w_start")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("window_id")
+  }
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30)
+    q28, q29, q30, q31)
 }
