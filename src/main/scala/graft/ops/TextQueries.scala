@@ -371,5 +371,49 @@ object TextQueries {
       .orderBy(col("freq").desc, col("tok"))
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, p01, p02, p03)
+  // ---------------------------------------------------------------------
+  // t07 — corpus-LM token-frequency scoring: the unigram stand-in for
+  // LM-based quality filtering (the CCNet/perplexity-bucket shape): a
+  // vocabulary pass counts every token's corpus frequency, then each
+  // document is scored by how common its tokens are (sum of corpus
+  // frequencies) and how many are rare (freq ≤ 2 — hapax/dis
+  // legomena). Rare-token-heavy docs are OCR garbage or boilerplate
+  // candidates; the two-phase build-vocab-then-score shape is exactly
+  // how a real LM filter deploys (model pass, then scoring pass).
+  // Deliberately transcendental-free (counts, not log-probs): libm
+  // log() differs across engines in the last ulp, while integer
+  // frequency sums are exact in both — same filtering power, bitwise
+  // oracle match.
+  //
+  // 100 TB posture: tokens shuffle once to build the vocab and once to
+  // score (join on token); the vocab relation is Zipf-bounded (grows
+  // sublinearly with the corpus) and the join key is the token — an
+  // ordinary hash shuffle, skew-bounded because stopword posting rows
+  // join 1:1 against a single vocab row (no pair blowup).
+  // ---------------------------------------------------------------------
+  val rareFreqMax = 2
+
+  val t07 = Q("t07_unigram_freq",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |vocab AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1)
+       |SELECT t.doc_id, count(*) AS n_toks,
+       |  CAST(SUM(CAST(v.freq AS DECIMAL(38,6))) AS DOUBLE) AS sum_tok_freq,
+       |  SUM(CASE WHEN v.freq <= $rareFreqMax THEN 1 ELSE 0 END) AS n_rare
+       |FROM toks t JOIN vocab v ON t.tok = v.tok
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.Functions.dec
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(dec(col("freq"))).cast("double").as("sum_tok_freq"),
+        sum(when(col("freq") <= rareFreqMax, 1L).otherwise(0L)).as("n_rare"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, p01, p02, p03)
 }
