@@ -415,5 +415,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, p01, p02, p03)
+  // ---------------------------------------------------------------------
+  // p04 — stratified sampling: exact per-stratum fractions (⌈n_s·f⌉
+  // docs from every `source`), deterministic under a content-hash
+  // order — the balanced-subset op behind data mixing / ablation
+  // sampling, where a naive uniform sample over- or under-draws small
+  // strata. One shuffle: both windows (per-stratum rank and size)
+  // share the `source` partitioning; the hash order makes the draw
+  // reproducible across runs and engines with no RNG.
+  //
+  // 100 TB posture: the per-stratum sort is the only wide work and
+  // partitions by stratum; a skewed giant stratum sorts in parallel
+  // within its partition range (it's a window, not a single-reducer
+  // global sort). At extreme skew you'd sample-and-rank per stratum
+  // hierarchically; the declared plan is the standard one.
+  // ---------------------------------------------------------------------
+  val sampleFraction = 0.1
+
+  val p04 = Q("p04_stratified_sample",
+    s"""WITH ordered AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM documents)
+       |SELECT doc_id, source FROM ordered
+       |WHERE rn <= CEIL(n * $sampleFraction) ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy("source")
+    table(spark, dir, "documents")
+      .withColumn("rn", row_number().over(
+        bySource.orderBy(md5(col("text")), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .filter(col("rn") <= ceil(col("n") * sampleFraction))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, p01, p02, p03, p04)
 }
