@@ -76,4 +76,22 @@ object Tables {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Clustered (range-sorted) table write — the data-SKIPPING layout
+    * for selective scans at 100 TB: `repartitionByRange` gives every
+    * output file a disjoint key range and the within-partition sort
+    * tightens per-row-group min/max stats, so a pushed predicate on the
+    * cluster key lets the parquet reader skip whole row groups (and
+    * effectively whole files) without decoding them. The complement of
+    * [[writeBucketed]]: bucketing kills the JOIN shuffle, clustering
+    * kills the selective-SCAN read cost; both pay one shuffle at write
+    * time. `ClusteredWriteSpec` pins the effect by comparing the scan
+    * operator's output-row metric (rows actually decoded) against an
+    * unclustered copy of the same data.
+    */
+  def writeClustered(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
 }
