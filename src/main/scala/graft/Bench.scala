@@ -37,17 +37,23 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
-    // best-of-3 per query: this host shows ±30% (occasionally 4-5×)
-    // run-to-run noise under contention, and the min is the standard
-    // noise-robust steady-state estimator
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    // best-of-3 per query, INTERLEAVED (three full passes over the
+    // suite rather than three back-to-back runs per query): this host
+    // shows bursty multi-second contention windows from co-tenants, and
+    // consecutive runs all land inside the same burst — spreading a
+    // query's runs minutes apart lets the min reject bursts instead of
+    // averaging them in
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to 3).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { run(fn, sfDir) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (!best.contains(name) || t < best(name)) best(name) = t
       }
-      name -> times.min
-    }.toMap
+    }
+    val results = best.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

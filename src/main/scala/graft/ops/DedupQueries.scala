@@ -101,7 +101,7 @@ object DedupQueries {
     * references the memo keys pin.
     */
   def invalidateCaches(): Unit = {
-    Seq(gramsMemo, setsMemo, bandsMemo, chunksMemo).foreach { m =>
+    Seq(gramsMemo, setsMemo, bandsMemo, chunksMemo, edgesMemo).foreach { m =>
       m.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
       m.clear()
     }
@@ -391,6 +391,14 @@ object DedupQueries {
   // loop only reads a per-round convergence COUNT (a scalar), the
   // sanctioned driver-side use.
   // ---------------------------------------------------------------------
+  /** Session memo of the d07 similarity EDGE relation (the d06-shaped
+    * prefix join + exact verification): every label-propagation round
+    * and every repeat invocation reuses one materialized pair set
+    * instead of re-running the similarity join.
+    */
+  private val edgesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   val d07 = Q("d07_dedup_clusters",
     s"""WITH RECURSIVE $trigramCte,
        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
@@ -410,11 +418,12 @@ object DedupQueries {
        |SELECT src AS doc_id, min(dst) AS cluster_id
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (spark, dir) =>
-    val grams = sharedGrams(spark, dir)
-    val sets = sharedGramSets(spark, dir)
-    val sim = exactJaccard(prefixCandidates(grams, jaccardThreshold), sets)
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val sim = edgesMemo.getOrElseUpdate((spark, dir),
+      exactJaccard(prefixCandidates(sharedGrams(spark, dir), jaccardThreshold),
+          sharedGramSets(spark, dir))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .cache())
     connectedComponents(
       table(spark, dir, "documents").select("doc_id"), sim)
       .orderBy("doc_id")
