@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.api.TypedDocs
 import graft.ops.{CardanoQueries, CoreQueries, DedupQueries, ExtendedQueries, MultimodalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
@@ -14,7 +15,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     CoreQueries.all ++ ExtendedQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ VectorQueries.all ++ MultimodalQueries.all ++
-      CardanoQueries.all
+      CardanoQueries.all ++ TypedDocs.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full token-transfer CTE pipeline shape

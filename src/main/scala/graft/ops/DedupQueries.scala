@@ -484,5 +484,72 @@ object DedupQueries {
     exactJaccard(candidates, sets).filter(col("jaccard") >= threshold)
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07)
+  // ---------------------------------------------------------------------
+  // d08 — passage-level exact dedup: split every document into
+  // fixed-width token windows ("passages"), keep the globally-first
+  // occurrence of each distinct passage, and reassemble the surviving
+  // text per document. This is sub-document dedup — the operation that
+  // removes a boilerplate header repeated across millions of otherwise
+  // unique pages, which document-level dedup (d01-d07) cannot see. It
+  // approximates suffix-array exact-substring dedup (Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better") at
+  // passage granularity, which is the form that parallelizes as plain
+  // relational ops.
+  //
+  // 100 TB posture: one explode (linear in corpus tokens), one window
+  // shuffle keyed by the passage text (cardinality ≈ corpus size — no
+  // hot key unless a passage is itself ubiquitous, and that passage's
+  // group collapses to rank-1 inside the window without pair blowup,
+  // unlike the shingle joins), one doc_id groupBy for reassembly.
+  // Nothing is O(N²) and nothing reaches the driver.
+  // ---------------------------------------------------------------------
+  val passageLen = 20
+
+  val d08 = Q("d08_dedup_passage",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i,
+       |    array_to_string(list_slice(w, i*$passageLen + 1, i*$passageLen + $passageLen), ' ') AS passage
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(ceil(len(w)/$passageLen.0) AS INT) - 1)) AS i)),
+       |ranked AS (SELECT doc_id, i, passage,
+       |  row_number() OVER (PARTITION BY passage ORDER BY doc_id, i) AS rn
+       |  FROM chunks),
+       |kept AS (SELECT doc_id, i, passage FROM ranked WHERE rn = 1),
+       |totals AS (SELECT doc_id, count(*) AS n_passages FROM chunks GROUP BY 1),
+       |keptagg AS (SELECT doc_id, count(*) AS n_kept,
+       |  string_agg(passage, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY 1)
+       |SELECT t.doc_id, t.n_passages,
+       |  COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  COALESCE(k.clean_text, '') AS clean_text
+       |FROM totals t LEFT JOIN keptagg k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val k = passageLen
+    val chunks = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1),
+        i => array_join(slice(col("w"), i * k + 1, lit(k)), " "))))
+      .toDF("doc_id", "i", "passage")
+    // first occurrence wins, globally ordered by (doc_id, passage index)
+    val kept = chunks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("passage").orderBy("doc_id", "i")))
+      .filter(col("rn") === 1)
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_passages"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        sort_array(collect_list(struct(col("i"), col("passage")))),
+        x => x.getField("passage")), " ").as("clean_text"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07, d08)
 }

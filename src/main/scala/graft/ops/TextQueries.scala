@@ -471,5 +471,109 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, p01, p02, p03, p04)
+  // ---------------------------------------------------------------------
+  // t08 — repetition metrics (the Gopher repetition-filter family,
+  // Rae et al. 2021 §A1.1): per document, the fraction of all word
+  // bigrams occupied by the single most frequent bigram, plus bigram
+  // counts. Documents dominated by one repeated phrase (boilerplate,
+  // keyword stuffing, degenerate OCR) score high and get flagged. The
+  // fraction is ONE division of two exact integers — bit-identical
+  // cross-engine.
+  //
+  // 100 TB posture: one explode linear in corpus tokens and one
+  // (doc_id, bigram) groupBy followed by a doc_id groupBy — both hash
+  // shuffles keyed by doc-scoped keys, so cardinality scales with the
+  // corpus and no key is hotter than the longest single document.
+  // ---------------------------------------------------------------------
+  val repetitionThreshold = 0.09
+
+  val t08 = Q("t08_repetition",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i)),
+       |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+       |m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |        count(*) AS n_distinct_bigrams, max(c) AS top_cnt
+       |      FROM cnt GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(m.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       |  COALESCE(m.n_distinct_bigrams, CAST(0 AS BIGINT)) AS n_distinct_bigrams,
+       |  COALESCE(CAST(m.top_cnt AS DOUBLE) / m.n_bigrams, CAST(0 AS DOUBLE)) AS top_bigram_frac,
+       |  CAST(CASE WHEN CAST(m.top_cnt AS DOUBLE) / m.n_bigrams
+       |              > CAST($repetitionThreshold AS DOUBLE)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+       |FROM documents d LEFT JOIN m USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = table(spark, dir, "documents")
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2) // sequence(1, 0) would count DOWN in Spark
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("bg"))
+    val m = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_cnt"))
+    val frac = col("top_cnt").cast("double") / col("n_bigrams")
+    docs.select("doc_id").join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(frac, lit(0.0)).as("top_bigram_frac"),
+        coalesce(when(frac > repetitionThreshold, 1L).otherwise(0L), lit(0L))
+          .as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // t09 — PII redaction: rewrite every match of each pattern in a
+  // registry to its placeholder tag and count redactions per type — the
+  // scrubbing pass a corpus takes before training. The registry here
+  // carries STAND-IN word patterns calibrated to the synthetic corpus
+  // (it contains no real emails/phones/SSNs — TESTDATA.md); a real
+  // deployment plugs the standard PII regexes into the same operator.
+  // Patterns are word-boundary anchored and dialect-portable (Java
+  // regex on the Spark side, RE2 in the DuckDB oracle — \b and
+  // alternation agree on this subset).
+  //
+  // 100 TB posture: map-only scan-project (regexp_replace +
+  // regexp_count are codegen'd builtins) — no shuffle except the
+  // presentation sort; the exact shape that runs as one pass over the
+  // corpus alongside t01/t02/t03.
+  // ---------------------------------------------------------------------
+  /** (tag, pattern, replacement) — applied in order. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("name", "\\bcustomer\\b", "[NAME]"),
+    ("id", "\\b(key|hash)\\b", "[ID]"))
+
+  val t09 = Q("t09_pii_redact", {
+    val redacted = piiPatterns.foldLeft("text") { case (acc, (_, pat, repl)) =>
+      s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+    val counts = piiPatterns
+      .map { case (tag, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$tag" }
+      .mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $counts,
+       |  $redacted AS redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }) { (spark, dir) =>
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    val counts = piiPatterns.map { case (tag, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$tag")
+    }
+    table(spark, dir, "documents")
+      .select(Seq(col("doc_id")) ++ counts :+ redacted.as("redacted"): _*)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
+    p01, p02, p03, p04)
 }
