@@ -362,5 +362,54 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, d05)
+  // ---------------------------------------------------------------------
+  // p05 — SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023): embed
+  // → k-means cluster → near-dup edges WITHIN each cluster only →
+  // connected components → keep one representative per component. The
+  // k-means cells (reusing s03's trained index) bound candidate
+  // generation to O(Σ |cell|²) instead of O(N²) — with cell count grown
+  // ∝ corpus size, per-cell membership stays bounded and the pair join
+  // is a plain hash join keyed by the cell id. Cross-cell near-dups are
+  // the sanctioned recall loss (quantization boundary), exactly as in
+  // the published pipeline; component assignment and representative
+  // choice reuse d07's min-label machinery.
+  //
+  // k-means is data-derived → rows-only; SemanticDedupSpec pins that
+  // the components match a brute-force recomputation of the same edge
+  // set, representatives are component minima, and the keep flag
+  // partitions the corpus.
+  // ---------------------------------------------------------------------
+  val semanticThreshold = 0.4
+
+  /** The within-cell near-dup edge set: (a, b) with a < b, cosine ≥
+    * threshold, both in the same trained cell.
+    */
+  def semanticEdges(spark: SparkSession, dir: String): DataFrame = {
+    val cs = trainedCentroids(spark, dir)
+    val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
+    val a = e.select(col("vec_id").as("a"), col("cell"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("b"), col("cell"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(dot(col("av"), col("bv")) / (col("an") * col("bn"))
+        >= semanticThreshold)
+      .select("a", "b")
+  }
+
+  val p05 = Q.noOracle("p05_semantic_dedup") { (spark, dir) =>
+    val cs = trainedCentroids(spark, dir)
+    val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
+    val comps = DedupQueries.connectedComponents(
+      e.select(col("vec_id").as("doc_id")), semanticEdges(spark, dir))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    e.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(comps, "vec_id")
+      .select(col("vec_id"), col("cell"), col("cluster_id"),
+        when(col("cluster_id") === col("vec_id"), 1L).otherwise(0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, d05, p05)
 }
