@@ -273,18 +273,31 @@ object TextQueries {
   // split a corpus that doesn't fit a driver-side shuffle-and-slice.
   // DuckDB oracle parses the same two hex chars arithmetically.
   // ---------------------------------------------------------------------
-  val p02 = Q("p02_corpus_split",
-    """WITH b AS (
-      |  SELECT doc_id,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+  /** DuckDB mirror of the md5-first-byte bucket (no strtol in DuckDB —
+    * parse the two hex chars arithmetically). Matches Spark's
+    * `conv(substring(md5(text),1,2),16,10)`.
+    */
+  private val md5BucketSql: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
       |      [CAST(CASE WHEN c >= 'a' THEN ascii(c) - 87 ELSE ascii(c) - 48 END AS BIGINT)
       |       FOR c IN split(substring(md5(text), 1, 2), '')]),
-      |      (a, x) -> a * 16 + x) AS bucket
-      |  FROM documents)
-      |SELECT doc_id, bucket,
-      |  CASE WHEN bucket < 205 THEN 'train'
-      |       WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
-      |FROM b ORDER BY doc_id""".stripMargin
+      |      (a, x) -> a * 16 + x)""".stripMargin
+
+  /** The deterministic split column (Spark side) — shared by p02/p06. */
+  private def splitCol: Column = {
+    val bucket = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long")
+    when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test")
+  }
+
+  private val splitSqlCase =
+    "CASE WHEN bucket < 205 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END"
+
+  val p02 = Q("p02_corpus_split",
+    s"""WITH b AS (
+       |  SELECT doc_id, $md5BucketSql AS bucket
+       |  FROM documents)
+       |SELECT doc_id, bucket, $splitSqlCase AS split
+       |FROM b ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     table(spark, dir, "documents")
       .select(col("doc_id"),
@@ -293,6 +306,123 @@ object TextQueries {
         when(col("bucket") < 205, "train")
           .when(col("bucket") < 230, "val")
           .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // p06 — test-set decontamination: flag every train/val document that
+  // shares at least one word-trigram shingle with any held-out (test)
+  // document — the n-gram-overlap decontamination pass every serious
+  // pretraining pipeline runs (the GPT-3 appendix-C shape, with the
+  // shingle width as the knob). Held-out membership is p02's
+  // deterministic md5 split, so the whole check is reproducible with no
+  // side input. Plan: one shingle explode (the SHARED cached trigram
+  // relation — same one d02-d06 consume), the distinct test-shingle set,
+  // one hash semi-ish join shingle-to-shingle, a per-doc count. At
+  // 100 TB the test set is tiny and its distinct-shingle relation
+  // broadcast-joins against the corpus shingle stream — a map-side
+  // probe, no corpus-wide shuffle; ubiquitous boilerplate shingles make
+  // the probe match often but the output stays bounded by (doc, shared
+  // shingle) pairs, and a df-cut (d02's dfCutJaccardJoin knob) applies
+  // unchanged if the test set itself carries boilerplate.
+  // ---------------------------------------------------------------------
+  val p06 = Q("p06_decontaminate",
+    s"""WITH ${DedupQueries.trigramCte},
+       |b AS (SELECT doc_id, $md5BucketSql AS bucket FROM documents),
+       |s AS (SELECT doc_id, $splitSqlCase AS split FROM b),
+       |tg AS (SELECT DISTINCT g FROM grams JOIN s USING (doc_id)
+       |       WHERE s.split = 'test'),
+       |hits AS (
+       |  SELECT grams.doc_id, count(*) AS n
+       |  FROM grams JOIN s USING (doc_id) JOIN tg USING (g)
+       |  WHERE s.split <> 'test' GROUP BY 1)
+       |SELECT s.doc_id, s.split,
+       |  COALESCE(hits.n, CAST(0 AS BIGINT)) AS n_shared_grams,
+       |  CAST(CASE WHEN s.split <> 'test' AND COALESCE(hits.n, 0) > 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM s LEFT JOIN hits USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val splits = table(spark, dir, "documents")
+      .select(col("doc_id"), splitCol.as("split"))
+    val grams = DedupQueries.sharedGrams(spark, dir).join(splits, "doc_id")
+    val testGrams = grams.filter(col("split") === "test")
+      .select("g").distinct()
+    // sharedGrams is per-doc DISTINCT, so count(*) here is the number of
+    // DISTINCT shingles each doc shares with the held-out set
+    val hits = grams.filter(col("split") =!= "test")
+      .join(broadcast(testGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    splits.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        when(col("split") =!= "test" && coalesce(col("n_shared_grams"), lit(0L)) > 0, 1L)
+          .otherwise(0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // p07 — domain mixture sampling: draw a corpus whose SOURCE composition
+  // matches declared mixture weights (the static data-mixing step behind
+  // every pretraining recipe — "50% web, 30% wiki, 20% events" — and the
+  // deterministic skeleton DoReMi-style learned weights plug into). The
+  // largest feasible total T respecting every stratum's supply is
+  // T = min_s floor(n_s · W / w_s); stratum s then contributes
+  // k_s = floor(w_s · T / W) documents, drawn in md5-of-content order
+  // (reproducible across runs/engines, no RNG — p04's trick). ALL
+  // integer arithmetic → bit-identical cross-engine. Plan: a tiny
+  // per-source count (broadcast back), one rank window partitioned by
+  // source — the same single-shuffle shape as p04.
+  // ---------------------------------------------------------------------
+  /** Integer mixture weights per source (sum = total parts). Sources
+    * match the synthetic corpus domains; unlisted sources get weight 0
+    * (excluded), exactly how a mixing manifest treats unvetted domains.
+    */
+  val mixtureWeights: Seq[(String, Long)] =
+    Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 2L)
+
+  val p07 = Q("p07_domain_mixture", {
+    val wCase = mixtureWeights
+      .map { case (s, w) => s"WHEN source = '$s' THEN CAST($w AS BIGINT)" }
+      .mkString("CASE ", " ", " ELSE CAST(0 AS BIGINT) END")
+    val wSum = mixtureWeights.map(_._2).sum
+    s"""WITH weighted AS (
+       |  SELECT doc_id, source, text, $wCase AS w FROM documents),
+       |counts AS (
+       |  SELECT source, w, count(*) AS n FROM weighted
+       |  WHERE w > 0 GROUP BY 1, 2),
+       |t AS (SELECT min(n * $wSum // w) AS total FROM counts),
+       |quota AS (SELECT source, w * (SELECT total FROM t) // $wSum AS k
+       |          FROM counts),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+       |  FROM weighted WHERE w > 0)
+       |SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn
+       |FROM ranked r JOIN quota q ON r.source = q.source AND r.rn <= q.k
+       |ORDER BY r.doc_id""".stripMargin
+  }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wSum = mixtureWeights.map(_._2).sum
+    val wCol = mixtureWeights.foldLeft(when(lit(false), 0L)) {
+      case (acc, (s, w)) => acc.when(col("source") === s, w)
+    }.otherwise(0L)
+    val weighted = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), wCol.as("w"))
+      .filter(col("w") > 0)
+    val counts = weighted.groupBy("source", "w").agg(count(lit(1)).as("n"))
+    // scalar: the largest total respecting every stratum's supply
+    val total = counts.select(min(floor(col("n") * wSum / col("w")).cast("long")))
+      .collect()(0).getLong(0)
+    val quota = counts.select(col("source"),
+      floor(col("w") * total / wSum).cast("long").as("k"))
+    val rn = row_number().over(
+      Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id")))
+    weighted
+      .withColumn("rn", rn.cast("long"))
+      .join(broadcast(quota), "source")
+      .filter(col("rn") <= col("k"))
+      .select("doc_id", "source", "rn")
       .orderBy("doc_id")
   }
 
@@ -575,5 +705,5 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    p01, p02, p03, p04)
+    p01, p02, p03, p04, p06, p07)
 }
