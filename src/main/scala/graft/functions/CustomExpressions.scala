@@ -235,6 +235,20 @@ object CustomFunctions {
       "array_count_in", ArrayCountIn.fromExprs, "built-in")
     reg.createOrReplaceTempFunction(
       "topk_agg", TopKAgg.fromExprs, "built-in")
+    // Spark's own runtime-filter expressions (what InjectRuntimeFilter
+    // plants under AQE), exposed for EXPLICIT semi-join reduction (q32):
+    // a distributed bloom build over xxhash64'd keys, and the codegen'd
+    // membership probe against the resulting sketch literal.
+    reg.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 }
 

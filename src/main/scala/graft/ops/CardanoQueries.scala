@@ -40,5 +40,37 @@ object CardanoQueries {
       count(when(col("tx_fee") > 0, 1)).as("n_paying"))
   }
 
-  val all: Seq[Q] = Seq(c01, c02)
+  /** Fixture chain written once as block-JSON files — the input the
+    * DataSourceV2 connector (c03) reads. Lazy so sessions that never run
+    * c03 touch no disk.
+    */
+  private lazy val blocksDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-c03-blocks")
+    java.nio.file.Files.write(d.resolve("blocks-000.jsonl"),
+      Fixture.block1.getBytes("UTF-8"))
+    java.nio.file.Files.write(d.resolve("blocks-001.jsonl"),
+      Fixture.block2.getBytes("UTF-8"))
+    d.toString
+  }
+
+  /** The DataSourceV2 connector surface (graft.sources.BlockJsonSource)
+    * under the driver gate: per-file partition planning, slot-filter
+    * pushdown (evaluated against the raw JSON scalar before any row is
+    * built) and nested-projection pruning, over the same deterministic
+    * fixture chain — so the oracle states the expected blocks literally.
+    */
+  val c03 = Q("c03_block_source",
+    "SELECT CAST(100 AS BIGINT) AS slot, CAST(1 AS BIGINT) AS height, " +
+      "CAST(1 AS BIGINT) AS n_tx " +
+      "UNION ALL SELECT CAST(250000 AS BIGINT), CAST(2 AS BIGINT), " +
+      "CAST(2 AS BIGINT) ORDER BY slot"
+  ) { (spark, _) =>
+    spark.read.format("graft.sources.BlockJsonSource").load(blocksDir)
+      .filter(col("slot") >= 100L)
+      .select(col("slot"), col("height"),
+        size(col("transactions")).cast("long").as("n_tx"))
+      .orderBy("slot")
+  }
+
+  val all: Seq[Q] = Seq(c01, c02, c03)
 }

@@ -583,6 +583,56 @@ object ExtendedQueries {
       .orderBy("window_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q32 — bloom-filter semi-join reduction: the fact side is pre-pruned
+  // by a bloom filter built over the dim side's join keys BEFORE the
+  // exact semi join — Spark's own runtime-filter shape
+  // (InjectRuntimeFilter / BloomFilterAggregate +
+  // BloomFilterMightContain), demonstrated explicitly through the same
+  // native expressions so the mechanism is visible and testable rather
+  // than depending on the optimizer firing. The bloom is built
+  // DISTRIBUTED (per-partition sketches OR-merge; only the KB-sized
+  // sketch reaches the driver — the sanctioned scalar collect), then
+  // probes inside whole-stage codegen on the scan side.
+  //
+  // Semantics are EXACT: false positives survive the bloom probe but die
+  // in the exact semi join that follows — the bloom only cuts shuffle
+  // input — so the oracle is the plain IN-subquery. At 100 TB this is
+  // the difference between shuffling the full fact table and shuffling
+  // only rows that can possibly match; with selective dim predicates the
+  // reduction is 10-100×, at the cost of one scan-side hash per row.
+  // BloomSemiJoinSpec pins the pruning factor and the no-false-negative
+  // guarantee.
+  // ---------------------------------------------------------------------
+  val bloomPriceMin = 400000.0
+
+  val q33 = Q("q33_bloom_semi_join",
+    s"""SELECT l_returnflag, count(*) AS n_items,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders WHERE o_totalprice > $bloomPriceMin)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.Functions.dec
+    import graft.functions.CustomFunctions
+    CustomFunctions.register(spark)
+    val keys = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > bloomPriceMin).select("o_orderkey")
+    val bloomBytes = keys
+      .agg(call_function("bloom_agg", xxhash64(col("o_orderkey")), lit(100000L)))
+      .collect()(0).getAs[Array[Byte]](0)
+    val pruned = table(spark, dir, "lineitem")
+      .filter(call_function("bloom_might_contain",
+        lit(bloomBytes), xxhash64(col("l_orderkey"))))
+    pruned
+      .join(broadcast(keys), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31)
+    q28, q29, q30, q31, q33)
 }
