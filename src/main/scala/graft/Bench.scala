@@ -54,10 +54,22 @@ object Bench {
       }
     }
     val results = best.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact number formatting: the harness that captures this line
+    // keeps only a bounded tail of stdout, and full-precision doubles
+    // for 60+ queries overflow it (the r4 line was >2 KB and failed to
+    // parse). 3 decimals (1 ms) is below host noise anyway.
+    def fmt(v: Double): String = {
+      val s = f"$v%.3f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // Print last, after Spark shutdown, so nothing else lands between
+    // this line and the end of the captured tail.
+    println(line)
   }
 }

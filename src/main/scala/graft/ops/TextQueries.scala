@@ -142,8 +142,8 @@ object TextQueries {
        |  ${markerRatioSql(stop)} AS stop_ratio,
        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
        |  $qualitySqlExpr AS quality,
-       |  CASE WHEN ($qualitySqlExpr) >= $qualityThreshold
-       |    THEN 1 ELSE 0 END AS keep
+       |  CAST(CASE WHEN ($qualitySqlExpr) >= $qualityThreshold
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM toks ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
@@ -549,7 +549,7 @@ object TextQueries {
        |vocab AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1)
        |SELECT t.doc_id, count(*) AS n_toks,
        |  CAST(SUM(CAST(v.freq AS DECIMAL(38,6))) AS DOUBLE) AS sum_tok_freq,
-       |  SUM(CASE WHEN v.freq <= $rareFreqMax THEN 1 ELSE 0 END) AS n_rare
+       |  CAST(SUM(CASE WHEN v.freq <= $rareFreqMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
        |FROM toks t JOIN vocab v ON t.tok = v.tok
        |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (spark, dir) =>

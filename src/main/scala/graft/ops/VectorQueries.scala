@@ -156,7 +156,7 @@ object VectorQueries {
        |    PARTITION BY vec_id ORDER BY cos DESC, nn) AS rn
        |  FROM pairs)
        |SELECT vec_id, label, nn AS nn_id, cos AS nn_cos,
-       |  CASE WHEN cos >= $neardupThreshold THEN 1 ELSE 0 END AS is_neardup
+       |  CAST(CASE WHEN cos >= $neardupThreshold THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
   ) { (spark, dir) =>
     val e = vectors(spark, dir)

@@ -57,10 +57,23 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
             continue
+        # Typed check: the driver hashes TYPED values, so BIGINT-vs-HUGEINT
+        # (DuckDB SUM over ints) mismatches even when every value is equal.
+        got_types = dict(
+            (r[0], r[1]) for r in
+            con.execute(f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall())
+        exp_types = dict(
+            (r[0], r[1]) for r in
+            con.execute(f"DESCRIBE {oracle[name]}").fetchall())
+        type_diffs = {c: (got_types.get(c), exp_types.get(c))
+                      for c in set(got_types) | set(exp_types)
+                      if got_types.get(c) != exp_types.get(c)}
         gc, gr = canon(got, got_cols)
         ec, er = canon(exp, exp_cols)
         if gc != ec:
             results[name] = f"SCHEMA_MISMATCH spark={gc} duckdb={ec}"
+        elif type_diffs:
+            results[name] = f"TYPE_MISMATCH {type_diffs} (spark, duckdb)"
         elif len(gr) != len(er):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(gr)} duckdb={len(er)}"
         else:
