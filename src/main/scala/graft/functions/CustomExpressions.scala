@@ -212,6 +212,82 @@ case class SimHashAgg(
   override def prettyName: String = "simhash_agg"
 }
 
+object NGramExplode {
+  /** SQL/call_function builder: `ngrams(arr, n)` with a foldable
+    * positive integer n.
+    */
+  def fromExprs(exprs: Seq[Expression]): NGramExplode = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "ngrams(arr, n) requires a literal n")
+    val nv = exprs(1).eval()
+    require(nv != null && nv.isInstanceOf[Number] &&
+        nv.asInstanceOf[Number].intValue() > 0,
+      s"ngrams n must be a positive integer literal, got $nv")
+    NGramExplode(exprs.head, nv.asInstanceOf[Number].intValue())
+  }
+}
+
+/** Sliding word-n-gram generator (UDTF rung of the extension ladder):
+  * emits one row per window of `n` consecutive tokens of an
+  * array<string>, joined with single spaces — the collocation /
+  * shingling primitive behind bigram statistics (t10). A native
+  * Catalyst `Generator` planned as `Generate`, so n-gramming a corpus
+  * is one generate stage with NO intermediate array materialization —
+  * vs the `transform(sequence(...), i -> concat_ws(...))` + explode
+  * composition, which builds every document's full n-gram array on the
+  * heap before exploding it, with the lambda evaluated interpretively
+  * per window.
+  *
+  * Rows with fewer than n tokens emit nothing; null tokens join as
+  * empty strings (split() never produces them in our pipelines).
+  */
+case class NGramExplode(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngrams requires array<string>, got ${other.simpleString(10)}")
+    }
+
+  override def elementSchema: StructType =
+    new StructType().add("ngram", StringType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val len = arr.numElements()
+      if (len < n) Iterator.empty
+      else {
+        val toks = new Array[UTF8String](len)
+        var i = 0
+        while (i < len) {
+          toks(i) =
+            if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+          i += 1
+        }
+        val sep = UTF8String.fromString(" ")
+        (0 to len - n).iterator.map { s =>
+          val parts = new Array[UTF8String](n)
+          System.arraycopy(toks, s, parts, 0, n)
+          InternalRow(UTF8String.concatWs(sep, parts: _*))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramExplode =
+    copy(child = newChild)
+  override def prettyName: String = "ngrams"
+}
+
 /** Session registration for the custom expressions, so queries can use
   * them via `call_function` / SQL by name. Idempotent.
   */
@@ -237,6 +313,8 @@ object CustomFunctions {
       "topk_agg", TopKAgg.fromExprs, "built-in")
     reg.createOrReplaceTempFunction(
       "pq_encode", PqEncode.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction(
+      "ngrams", NGramExplode.fromExprs, "built-in")
     // Spark's own runtime-filter expressions (what InjectRuntimeFilter
     // plants under AQE), exposed for EXPLICIT semi-join reduction (q32):
     // a distributed bloom build over xxhash64'd keys, and the codegen'd

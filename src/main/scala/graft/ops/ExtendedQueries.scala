@@ -633,6 +633,161 @@ object ExtendedQueries {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------------
+  // q34 — value-based window frame (RANGE BETWEEN): per event, the count
+  // and exact-decimal sum of the same user's activity in the trailing 10
+  // minutes — the event-time sliding aggregate behind rate limiting /
+  // rolling features. RANGE frames bound the frame by ORDER-BY VALUE
+  // distance, not row offsets (q14's ROWS frame), so ties share one
+  // frame and gaps shrink it. ONE user_id window shuffle serves both
+  // aggregates; at 100 TB this is a key-partitioned sort with a
+  // two-pointer frame scan per partition — linear, no self-join (the
+  // naive equivalent is an interval self-join, O(events × window_len)).
+  // ---------------------------------------------------------------------
+  private val trailNs = 10L * 60L * 1000000000L // 10 min on the ns axis
+
+  val q34 = Q("q34_range_frame",
+    s"""WITH ev AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns FROM events)
+       |SELECT event_id, user_id, ts_ns,
+       |  COUNT(*) OVER w AS n_10m,
+       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_10m
+       |FROM ev
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+       |  RANGE BETWEEN $trailNs PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Functions.{dec, tsUs}
+    val w = Window.partitionBy("user_id").orderBy("ts_ns")
+      .rangeBetween(-trailNs, 0L)
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        tsUs(col("ts")).as("ts_ns"))
+      .select(col("event_id"), col("user_id"), col("ts_ns"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(dec(col("value"))).over(w).cast("double").as("sum_10m"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q35 — JSON extraction (a function family the reference lacks
+  // entirely, SURVEY.md §2.8 "no JSON functions"): the semi-structured
+  // `props` payload is parsed ONCE per row with an explicit schema
+  // (from_json — at scale never schema-infer, and never re-parse per
+  // field), then aggregated by the extracted key. Parse + bucket stay in
+  // the scan's map stage; the only shuffle is the final groupBy.
+  // ---------------------------------------------------------------------
+  val q35 = Q("q35_json_extract",
+    """WITH ev AS (SELECT user_id, value,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT k // 10 AS k_bucket, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.Functions.dec
+    table(spark, dir, "events")
+      .select(col("user_id"), col("value"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+      .groupBy(expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("k_bucket")
+  }
+
+  // ---------------------------------------------------------------------
+  // q36 — incremental snapshot merge (SCD-1 upsert): the maintenance
+  // operation every continuously-ingested 100 TB table needs. The
+  // "base" snapshot (latest order per customer before the cutoff) is
+  // merged with a "delta" batch (latest order at-or-after it): delta
+  // rows win, base rows without a delta carry over, delta rows without a
+  // base insert — full outer join + coalesce, tagged per row. Both
+  // sides are LARGE → no broadcast: the plan is one co-partitioned
+  // sort-merge join on the key (with bucketed/clustered storage —
+  // Tables.writeBucketed — even that shuffle disappears; this is
+  // exactly the merge-on-read compaction shape).
+  // ---------------------------------------------------------------------
+  private val mergeCutoff = "1999-01-01 00:00:00"
+
+  val q36 = Q("q36_incremental_merge",
+    s"""WITH base AS (
+       |  SELECT * FROM (
+       |    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+       |      row_number() OVER (PARTITION BY o_custkey
+       |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |    FROM orders WHERE o_orderdate < TIMESTAMP '$mergeCutoff') WHERE rn = 1),
+       |delta AS (
+       |  SELECT * FROM (
+       |    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+       |      row_number() OVER (PARTITION BY o_custkey
+       |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |    FROM orders WHERE o_orderdate >= TIMESTAMP '$mergeCutoff') WHERE rn = 1)
+       |SELECT COALESCE(d.o_custkey, b.o_custkey) AS custkey,
+       |  CASE WHEN b.o_custkey IS NULL THEN 'insert'
+       |       WHEN d.o_custkey IS NULL THEN 'carry'
+       |       ELSE 'update' END AS op,
+       |  COALESCE(d.o_orderkey, b.o_orderkey) AS latest_orderkey,
+       |  COALESCE(d.o_totalprice, b.o_totalprice) AS latest_totalprice,
+       |  strftime(COALESCE(d.o_orderdate, b.o_orderdate), '%Y-%m-%d') AS latest_date
+       |FROM base b FULL OUTER JOIN delta d ON d.o_custkey = b.o_custkey
+       |ORDER BY custkey""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = java.sql.Timestamp.valueOf(mergeCutoff)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    def latest(df: DataFrame, prefix: String): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as(s"${prefix}_custkey"),
+          col("o_orderkey").as(s"${prefix}_orderkey"),
+          col("o_totalprice").as(s"${prefix}_totalprice"),
+          col("o_orderdate").as(s"${prefix}_date"))
+    val orders = table(spark, dir, "orders")
+    val base = latest(orders.filter(col("o_orderdate") < cutoff), "b")
+    val delta = latest(orders.filter(col("o_orderdate") >= cutoff), "d")
+    base.join(delta, col("d_custkey") === col("b_custkey"), "full_outer")
+      .select(coalesce(col("d_custkey"), col("b_custkey")).as("custkey"),
+        when(col("b_custkey").isNull, "insert")
+          .when(col("d_custkey").isNull, "carry")
+          .otherwise("update").as("op"),
+        coalesce(col("d_orderkey"), col("b_orderkey")).as("latest_orderkey"),
+        coalesce(col("d_totalprice"), col("b_totalprice")).as("latest_totalprice"),
+        date_format(coalesce(col("d_date"), col("b_date")), "yyyy-MM-dd")
+          .as("latest_date"))
+      .orderBy("custkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // q37 — CUBE (completing the grouping-sets family next to q18's
+  // ROLLUP): all four (status × priority) grouping combinations in ONE
+  // pass — Spark plans a single Expand (4 output rows per input) into
+  // one hash aggregate, vs 4 separate scans UNION'd. Same NULL-marker
+  // coalescing as q18 (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
+  // ---------------------------------------------------------------------
+  val q37 = Q("q37_cube",
+    """SELECT COALESCE(o_orderstatus, '<all>') AS status,
+      |  COALESCE(o_orderpriority, '<all>') AS priority,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.Functions.dec
+    table(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("cnt"), col("sum_price"))
+      .orderBy("status", "priority")
+  }
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q33)
+    q28, q29, q30, q31, q33, q34, q35, q36, q37)
 }

@@ -704,6 +704,79 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09,
-    p01, p02, p03, p04, p06, p07)
+  // ---------------------------------------------------------------------
+  // t10 — corpus-level bigram collocations: the top 20 word bigrams by
+  // global occurrence count (ties by bigram), each with its document
+  // frequency — the collocation/boilerplate-phrase statistic next to
+  // t05's unigram heavy hitters. The n-gramming runs through the native
+  // NGramExplode Catalyst Generator (the custom-UDTF rung of the
+  // extension ladder): one Generate stage, no per-document n-gram array
+  // materialized on the heap and no interpreted lambda — vs t08's
+  // transform(sequence)+explode composition, which builds each
+  // document's full bigram array before exploding it. All-integer
+  // counts → exact oracle.
+  //
+  // 100 TB posture: generate is map-side and linear in corpus tokens;
+  // the (bigram) groupBy partial-aggregates map-side, so the shuffle
+  // carries one row per distinct bigram per partition, and the top-20 is
+  // a TakeOrderedAndProject.
+  // ---------------------------------------------------------------------
+  val t10 = Q("t10_bigram_colloc",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, w[x.i] || ' ' || w[x.i+1] AS bigram
+      |       FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS i) x)
+      |SELECT bigram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+      |FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+  ) { (spark, dir) =>
+    CustomFunctions.register(spark)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), call_function("ngrams", col("w"), lit(2)))
+      .groupBy(col("ngram").as("bigram"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // p08 — per-source document cap (the "domain cap" stage of a crawl
+  // pipeline: no single domain may contribute more than K documents,
+  // best-quality-first): rank each source's docs by t02's quality score
+  // (ties by doc_id) and keep the top K. The Spark side uses the native
+  // TopKAgg bounded-heap aggregate, NOT the oracle's window idiom: the
+  // window sorts and shuffles every row of the corpus; topk_agg partial-
+  // aggregates each partition down to ≤ K entries per source BEFORE the
+  // shuffle, so only K·sources rows move — at 100 TB with ~10⁷ domains
+  // that is the difference between shuffling the corpus and shuffling
+  // the (bounded) result. Quality is t02's exact expression, so the
+  // score itself is oracle-pinned elsewhere.
+  // ---------------------------------------------------------------------
+  val sourceCap = 20
+
+  val p08 = Q("p08_source_cap",
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |scored AS (SELECT doc_id, source, $qualitySqlExpr AS quality FROM toks),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality
+       |FROM ranked WHERE rk <= $sourceCap
+       |ORDER BY source, rk""".stripMargin
+  ) { (spark, dir) =>
+    CustomFunctions.register(spark)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), qualityExpr(col("w")).as("quality"))
+      .groupBy("source")
+      .agg(call_function("topk_agg",
+        struct(col("quality").as("ord"), col("doc_id").as("id")),
+        lit(sourceCap)).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("col.ord").as("quality"))
+      .orderBy("source", "rk")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
+    p01, p02, p03, p04, p06, p07, p08)
 }

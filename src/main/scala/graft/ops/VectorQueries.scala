@@ -446,5 +446,97 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, d05, p05)
+  // ---------------------------------------------------------------------
+  // s05 — MMR-diversified retrieval (Carbonell & Goldstein 1998): from
+  // each query's EXACT cosine top-`mmrPool` candidates, greedily select
+  // `mmrK` results maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) —
+  // the diversified re-rank stage between ANN shortlist and consumer.
+  // Two stages: (1) the s01 shortlist shape (broadcast query batch ×
+  // corpus, rank window) bounds each query's pool to mmrPool rows;
+  // (2) the greedy runs per query over its COLLECTED pool — a genuine
+  // per-group sequential loop (each pick depends on all previous picks),
+  // O(k·pool·dim) on ≤ mmrPool rows, so a Scala UDF over
+  // collect_list is the honest realization (this is not a per-row hot
+  // path; the per-row work all happened in stage 1's codegen'd dots).
+  // At 100 TB the pool bound is what matters: state per query is
+  // mmrPool·dim doubles, grouped and distributed by qid — never a
+  // driver collect.
+  //
+  // Greedy selection is seed/data-order independent (ties broken by
+  // smaller id) but not SQL-expressible (iterative argmax) → rows-only;
+  // MmrSpec pins: first pick = exact NN, picks ⊆ pool, no duplicates,
+  // and a plain-Scala greedy recomputation matches exactly.
+  // ---------------------------------------------------------------------
+  val mmrPool = 20
+  val mmrK = 5
+  val mmrLambda = 0.7
+
+  /** One MMR selection: rank (1-based), the picked neighbor, its MMR
+    * objective value at pick time, and its plain relevance cosine.
+    */
+  final case class MmrPick(rank: Long, neighbor_id: Long, mmr: Double, cos: Double)
+
+  /** Greedy MMR over (cos, id, unitVec) candidates — deterministic:
+    * Double total order, ties to the smaller id.
+    */
+  def mmrSelect(cands: Seq[(Double, Long, Array[Double])], k: Int,
+      lambda: Double): Seq[MmrPick] = {
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (out.length < k && remaining.nonEmpty) {
+      var bestI = -1
+      var bestScore = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < remaining.length) {
+        val (cos, id, vu) = remaining(i)
+        var maxSim = 0.0 // empty-S convention: first pick = pure relevance
+        picked.foreach { case (_, su) =>
+          var d = 0.0
+          var j = 0
+          while (j < vu.length) { d += vu(j) * su(j); j += 1 }
+          if (d > maxSim) maxSim = d
+        }
+        val score = lambda * cos - (1 - lambda) * maxSim
+        val c = java.lang.Double.compare(score, bestScore)
+        if (c > 0 || (c == 0 && id < bestId)) {
+          bestScore = score; bestI = i; bestId = id
+        }
+        i += 1
+      }
+      val (cos, id, vu) = remaining.remove(bestI)
+      picked += ((id, vu))
+      out += MmrPick(out.length + 1L, id, bestScore, cos)
+    }
+    out.toSeq
+  }
+
+  val s05 = Q.noOracle("s05_mmr_diversify") { (spark, dir) =>
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val pool = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"),
+        transform(col("v"), x => x / col("nrm")).as("vu"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= mmrPool)
+    val greedy = udf { cands: Seq[org.apache.spark.sql.Row] =>
+      mmrSelect(cands.map(r => (r.getDouble(0), r.getLong(1),
+        r.getSeq[Double](2).toArray)), mmrK, mmrLambda)
+    }
+    pool
+      .groupBy("qid")
+      .agg(collect_list(struct(col("cos"), col("vec_id"), col("vu"))).as("cands"))
+      .select(col("qid"), explode(greedy(col("cands"))).as("pick"))
+      .select(col("qid"), col("pick.rank").as("rank"),
+        col("pick.neighbor_id").as("neighbor_id"),
+        col("pick.mmr").as("mmr"), col("pick.cos").as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, d05, p05)
 }

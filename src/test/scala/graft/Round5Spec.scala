@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CustomFunctions
+import graft.ops.{ExtendedQueries, TextQueries, VectorQueries}
+
+/** Round-5 operators: NGramExplode generator semantics, bigram
+  * collocations, per-source cap vs the window idiom, RANGE-frame tie
+  * semantics, JSON parse equivalence, incremental-merge invariants, and
+  * MMR diversified retrieval.
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngrams generator: matches transform+sequence composition, short arrays emit nothing") {
+    CustomFunctions.register(spark)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "x y"), (3L, "solo"), (4L, "p q r")
+    ).toDF("id", "text").select(col("id"), split(col("text"), " ").as("w"))
+    val viaGen = docs.select(col("id"), call_function("ngrams", col("w"), lit(2)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val viaCompose = docs.filter(size(col("w")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("ngram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaGen.toSeq === viaCompose.toSeq)
+    // 1-token doc emits no bigrams; trigram window
+    assert(!viaGen.exists(_._1 == 3L))
+    val tri = docs.select(call_function("ngrams", col("w"), lit(3)))
+      .as[String].collect().sorted
+    assert(tri.toSeq === Seq("a b c", "b c d", "p q r"))
+  }
+
+  test("ngrams builder rejects non-literal n and non-array input at plan time") {
+    CustomFunctions.register(spark)
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    intercept[Exception] {
+      df.select(call_function("ngrams", split(col("text"), " "), col("id")))
+        .collect()
+    }
+    intercept[Exception] {
+      df.select(call_function("ngrams", col("text"), lit(2))).collect()
+    }
+  }
+
+  test("t10: generator-built bigram counts equal the composed-explode twin") {
+    val got = TextQueries.t10.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val twin = graft.io.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("cnt").desc, col("bigram")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === twin.toSeq)
+  }
+
+  test("p08: topk_agg cap equals the window row_number idiom, cap respected") {
+    val got = TextQueries.p08.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    import org.apache.spark.sql.expressions.Window
+    CustomFunctions.register(spark)
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val twin = graft.io.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        TextQueries.qualityExpr(col("w")).as("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TextQueries.sourceCap)
+      .select("source", "rk", "doc_id", "quality")
+      .orderBy("source", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === twin.toSeq)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= TextQueries.sourceCap)
+    }
+  }
+
+  test("q34: RANGE frame shares one frame across ties, bounds by value distance") {
+    import org.apache.spark.sql.expressions.Window
+    // user 1: ts 0, 100, 100 (tie), 700 — frame is 600 wide
+    val ev = Seq((1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 100L, 3.0), (1L, 700L, 4.0))
+      .toDF("u", "ts", "v")
+    val w = Window.partitionBy("u").orderBy("ts").rangeBetween(-600L, 0L)
+    val got = ev.select(col("ts"), count(lit(1)).over(w).as("n"),
+        sum(col("v")).over(w).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // ties at ts=100 both see rows {0,100,100}; ts=700 sees {100,100,700}
+    assert(got.count { case (ts, n, _) => ts == 100L && n == 3L } === 2)
+    assert(got.find(_._1 == 700L).get._2 === 3L)
+    assert(got.find(_._1 == 700L).get._3 === 9.0)
+  }
+
+  test("q35: from_json single-parse equals per-field get_json_object") {
+    val ev = graft.io.Tables.table(spark, sf, "events")
+    val a = ev.select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+        .getField("k").as("k"))
+      .as[Long].collect()
+    val b = ev.select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .as[Long].collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("q36: merge ops partition customers and pick the latest order per side") {
+    val rows = ExtendedQueries.q36.fn(spark, sf).collect()
+    val orders = graft.io.Tables.table(spark, sf, "orders")
+    val cutoff = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+    val baseCust = orders.filter(col("o_orderdate") < cutoff)
+      .select("o_custkey").as[Long].collect().toSet
+    val deltaCust = orders.filter(col("o_orderdate") >= cutoff)
+      .select("o_custkey").as[Long].collect().toSet
+    assert(rows.map(_.getLong(0)).toSet === (baseCust ++ deltaCust))
+    rows.foreach { r =>
+      val (cust, op) = (r.getLong(0), r.getString(1))
+      op match {
+        case "insert" => assert(!baseCust(cust) && deltaCust(cust))
+        case "carry"  => assert(baseCust(cust) && !deltaCust(cust))
+        case "update" => assert(baseCust(cust) && deltaCust(cust))
+      }
+    }
+    // spot-check: for an 'update' row the surviving order is from delta
+    val deltaLatest = orders.filter(col("o_orderdate") >= cutoff)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .groupBy("o_custkey").agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderkey"))
+      .as[(Long, Long)].collect().toMap
+    rows.filter(_.getString(1) == "update").take(20).foreach { r =>
+      assert(r.getLong(2) === deltaLatest(r.getLong(0)))
+    }
+  }
+
+  test("s05 MMR: first pick is the exact NN, k picks from the pool, greedy reproducible") {
+    val picks = VectorQueries.s05.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byQ = picks.groupBy(_._1)
+    assert(byQ.size === 10)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length === VectorQueries.mmrK)
+      assert(rows.map(_._3).distinct.length === rows.length) // no dup neighbors
+    }
+    // first pick = exact cosine NN (s01 rank 1)
+    val s01Top = VectorQueries.s01.fn(spark, sf).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byQ.foreach { case (q, rows) =>
+      assert(rows.find(_._2 == 1L).get._3 === s01Top(q), s"query $q")
+    }
+    // greedy is reproducible from the collected pool in plain Scala
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.io.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val pool = q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _)
+          / (col("qn") * col("nrm"))).as("cos"),
+        transform(col("v"), x => x / col("nrm")).as("vu"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= VectorQueries.mmrPool)
+      .collect()
+      .map(r => (r.getLong(0), (r.getDouble(2), r.getLong(1),
+        r.getSeq[Double](3).toArray)))
+      .groupBy(_._1)
+    byQ.foreach { case (qid, rows) =>
+      val local = VectorQueries.mmrSelect(pool(qid).map(_._2).toSeq,
+        VectorQueries.mmrK, VectorQueries.mmrLambda)
+      val fromQuery = rows.sortBy(_._2)
+        .map(r => (r._2, r._3, r._4, r._5)).toSeq
+      val fromLocal = local.map(p => (p.rank, p.neighbor_id, p.mmr, p.cos))
+      assert(fromQuery === fromLocal, s"query $qid")
+    }
+  }
+}
