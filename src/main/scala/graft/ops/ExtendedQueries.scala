@@ -788,6 +788,29 @@ object ExtendedQueries {
       .orderBy("status", "priority")
   }
 
+  // ---------------------------------------------------------------------
+  // q38 — explicit GROUPING SETS (the third grouping-sets form, after
+  // q18 ROLLUP and q37 CUBE): per-nation AND per-segment subtotals in
+  // ONE pass — a set combination neither rollup nor cube expresses
+  // (cube would add the cross product and grand total). Entered via the
+  // SQL front door (grouping sets have no DataFrame-side method), one
+  // Expand (2 rows per input) → one hash aggregate. The -1/'<all>'
+  // markers keep the NULL sort portability of q18.
+  // ---------------------------------------------------------------------
+  private val q38Sql =
+    """SELECT COALESCE(c_nationkey, -1) AS nationkey,
+      |  COALESCE(c_mktsegment, '<all>') AS segment,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+      |ORDER BY nationkey, segment""".stripMargin
+
+  val q38 = Q("q38_grouping_sets", q38Sql) { (spark, dir) =>
+    // session-scoped view name so no shared-session relation is shadowed
+    table(spark, dir, "customer").createOrReplaceTempView("q38_customer")
+    spark.sql(q38Sql.replace("FROM customer", "FROM q38_customer"))
+  }
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q33, q34, q35, q36, q37)
+    q28, q29, q30, q31, q33, q34, q35, q36, q37, q38)
 }

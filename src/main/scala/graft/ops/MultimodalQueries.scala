@@ -120,5 +120,50 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_id")
   }
 
-  val all: Seq[Q] = Seq(m01, m02)
+  // ---------------------------------------------------------------------
+  // m03 — media-level dedup on DECODED content: two media files with
+  // identical frames are duplicates even when their container bytes
+  // differ (re-mux, metadata edits), so the dedup key must be a digest
+  // of the decoded frame sequence, not of the payload. Pipeline: frame
+  // expansion (m02's generator shape) → per-doc media signature =
+  // md5 over the SORTED frame-digest list (order-canonical, so frame
+  // storage order is irrelevant) → d01's hash-groupBy dedup on the
+  // signature. One groupBy per stage, all keys content-derived — the
+  // same bounded-shuffle profile as d01 at 100 TB, with frames (not
+  // payload bytes) as the only expanded relation.
+  // ---------------------------------------------------------------------
+  val m03 = Q("m03_media_dedup",
+    """WITH media AS (
+      |  SELECT doc_id, 1 + octet_length(encode(text)) % 8 AS n_frames, text
+      |  FROM documents),
+      |frames AS (
+      |  SELECT doc_id,
+      |    md5(text || '#' || CAST(f.frame_id AS VARCHAR)) AS frame_hash
+      |  FROM media, LATERAL (
+      |    SELECT unnest(generate_series(0, n_frames - 1)) AS frame_id) f),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list(frame_hash)), '')) AS media_sig
+      |  FROM frames GROUP BY doc_id)
+      |SELECT media_sig, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM sigs GROUP BY media_sig ORDER BY media_sig""".stripMargin
+  ) { (spark, dir) =>
+    val frames = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (lit(1) + length(col("text")).cast("long") % 8).as("n_frames"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
+      .select(col("doc_id"),
+        md5(concat(col("text"), lit("#"), col("frame_id").cast("string"))
+          .cast("binary")).as("frame_hash"))
+    frames
+      .groupBy("doc_id")
+      .agg(md5(concat_ws("", sort_array(collect_list(col("frame_hash"))))
+        .cast("binary")).as("media_sig"))
+      .groupBy("media_sig")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("media_sig")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03)
 }
