@@ -811,6 +811,55 @@ object ExtendedQueries {
     spark.sql(q38Sql.replace("FROM customer", "FROM q38_customer"))
   }
 
+  // ---------------------------------------------------------------------
+  // q39 — sequential conversion funnel (view → click → purchase, each
+  // stage strictly at-or-after the previous stage's FIRST event): the
+  // event-sequence analytics op behind product funnels and pipeline
+  // stage tracking. Three chained whole-partition windows compute
+  // first-view, first-click-after-view, first-purchase-after-click;
+  // each depends on the previous column, but all three share ONE
+  // user_id partitioning — Catalyst plans a single shuffle with three
+  // Window operators back to back, and the closing per-user aggregate
+  // reuses the same distribution (no re-exchange). The naive form is
+  // three self-joins; this is linear.
+  // ---------------------------------------------------------------------
+  val q39 = Q("q39_funnel",
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_ns END)
+      |  OVER (PARTITION BY user_id) AS v1 FROM ev),
+      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_ns >= v1
+      |  THEN ts_ns END) OVER (PARTITION BY user_id) AS c1 FROM w1),
+      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_ns >= c1
+      |  THEN ts_ns END) OVER (PARTITION BY user_id) AS p1 FROM w2)
+      |SELECT user_id, MAX(v1) AS view_ts, MAX(c1) AS click_ts,
+      |  MAX(p1) AS purchase_ts,
+      |  CAST(CASE WHEN MAX(p1) IS NOT NULL THEN 3
+      |            WHEN MAX(c1) IS NOT NULL THEN 2
+      |            WHEN MAX(v1) IS NOT NULL THEN 1
+      |            ELSE 0 END AS BIGINT) AS stage
+      |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Functions.tsUs
+    val byUser = Window.partitionBy("user_id")
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), tsUs(col("ts")).as("ts_ns"))
+      .withColumn("v1",
+        min(when(col("event_type") === "view", col("ts_ns"))).over(byUser))
+      .withColumn("c1",
+        min(when(col("event_type") === "click" && col("ts_ns") >= col("v1"),
+          col("ts_ns"))).over(byUser))
+      .withColumn("p1",
+        min(when(col("event_type") === "purchase" && col("ts_ns") >= col("c1"),
+          col("ts_ns"))).over(byUser))
+      .groupBy("user_id")
+      .agg(max("v1").as("view_ts"), max("c1").as("click_ts"),
+        max("p1").as("purchase_ts"),
+        when(max("p1").isNotNull, 3L).when(max("c1").isNotNull, 2L)
+          .when(max("v1").isNotNull, 1L).otherwise(0L).as("stage"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q33, q34, q35, q36, q37, q38)
+    q28, q29, q30, q31, q33, q34, q35, q36, q37, q38, q39)
 }
