@@ -181,7 +181,15 @@ object DedupQueries {
     val grams = sharedGrams(spark, dir)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val ga = grams.toDF("a", "ga")
-    val gb = grams.toDF("b", "gb")
+    // shuffle_hash, not sort-merge: the inverted-index self-join emits
+    // ~Σ df²/2 pairs — far more rows than it reads — so SMJ's two
+    // O(n log n) input sorts are pure overhead (measured 2.06 → 0.90 s
+    // at sf0.1). The SHJ build side is one shingle-partition's postings:
+    // bounded per partition exactly when shingle df is bounded — which
+    // is the same condition the dedup ladder already manages (d06's
+    // rarest-first prefix index / dfCutJaccardJoin's df cut); with
+    // unbounded hot shingles NEITHER join shape saves the O(df²) output.
+    val gb = grams.toDF("b", "gb").hint("shuffle_hash")
     val inter = ga.join(gb, col("ga") === col("gb") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
     inter

@@ -860,6 +860,39 @@ object ExtendedQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q40 — cohort retention: users bucketed by the week of their FIRST
+  // event (the cohort), then counted per (cohort, weeks-since-cohort)
+  // activity cell — the retention matrix behind every engagement
+  // dashboard. The week axis is pure integer arithmetic on the ns
+  // epoch (`div` 7-days-of-ns), not calendar truncation — deterministic
+  // across engines and time zones. Plan: one user_id window computes
+  // each user's cohort alongside their activity rows (no join back),
+  // then distinct + the matrix aggregate — the q39 pattern of chaining
+  // per-user derivations on a single partitioning before widening.
+  // ---------------------------------------------------------------------
+  private val weekNs = 7L * 24L * 3600L * 1000000000L
+
+  val q40 = Q("q40_cohort_retention",
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // $weekNs AS wk FROM events),
+       |coh AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+       |act AS (SELECT DISTINCT e.user_id, c.cohort_wk, e.wk
+       |        FROM ev e JOIN coh c USING (user_id))
+       |SELECT cohort_wk, wk - cohort_wk AS week_offset, COUNT(*) AS n_users
+       |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Functions.tsUs
+    table(spark, dir, "events")
+      .select(col("user_id"), tsUs(col("ts")).as("ts_ns"))
+      .select(col("user_id"), expr(s"ts_ns div $weekNs").as("wk"))
+      .withColumn("cohort_wk", min("wk").over(Window.partitionBy("user_id")))
+      .select("user_id", "cohort_wk", "wk").distinct()
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q33, q34, q35, q36, q37, q38, q39)
+    q28, q29, q30, q31, q33, q34, q35, q36, q37, q38, q39, q40)
 }

@@ -121,6 +121,26 @@ object StreamIngest {
         col("cnt"), col("sum_value"))
 
 
+  /** Built-in session-window aggregation — the DECLARATIVE twin of the
+    * custom [[sessionize]] stateful processor: `session_window(ts, gap)`
+    * merges events of one user into dynamic windows that extend while
+    * events keep arriving within `gap` and close when the watermark
+    * passes last-event + gap. Same gap semantics as sessionize /
+    * q22's batch lag+cumsum idiom, expressed as a groupBy — Spark
+    * manages the merging session state; use the custom processor only
+    * when per-session logic exceeds what an aggregate can say (e.g.
+    * emitting mid-session updates). State is keyed by (user, window)
+    * and expires with the watermark — bounded, ingest-scale safe.
+    */
+  def sessionWindowRollup(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Watermarked stream-stream interval join — the attribution shape: a
     * `cause` event matched to every `effect` event of the same user
     * within `maxLagMinutes` after it. Both sides carry watermarks and

@@ -131,6 +131,39 @@ class StreamIngestSpec extends SparkSpec {
   }
 
 
+  test("session_window rollup merges gap-joined events and splits on the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val rollup = StreamIngest.sessionWindowRollup(
+      source.toDF().toDF("user_id", "ts", "value"), gap = "30 minutes")
+
+    val q = rollup.writeStream
+      .format("memory").queryName("sess_sink").outputMode("complete")
+      .start()
+    source.addData(
+      // user 1: 10:00 and 10:20 chain (gap 20m < 30m) into one session
+      // extending to 10:50; 11:30 starts a new session (gap 70m)
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:20:00"), 2.0),
+      (1L, Timestamp.valueOf("2024-01-01 11:30:00"), 4.0),
+      // user 2: single event
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_sink")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    assert(got === Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:50:00", 2L, 3.0),
+      (1L, "2024-01-01 11:30:00", "2024-01-01 12:00:00", 1L, 4.0),
+      (2L, "2024-01-01 10:10:00", "2024-01-01 10:40:00", 1L, 8.0)))
+  }
+
   test("sequenced batch replays old chain, rollback, and new chain in order") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
