@@ -491,7 +491,9 @@ object VectorQueries {
       var i = 0
       while (i < remaining.length) {
         val (cos, id, vu) = remaining(i)
-        var maxSim = 0.0 // empty-S convention: first pick = pure relevance
+        // true max similarity to the selected set (may be negative);
+        // empty-S convention: 0, so the first pick is pure relevance
+        var maxSim = if (picked.isEmpty) 0.0 else Double.NegativeInfinity
         picked.foreach { case (_, su) =>
           var d = 0.0
           var j = 0
