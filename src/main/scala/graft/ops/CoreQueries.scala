@@ -25,7 +25,10 @@ object CoreQueries {
     df.schema(colName).dataType match {
       case TimestampNTZType =>
         lit(java.time.LocalDateTime.parse(ts.replace(' ', 'T')))
-      case _ => lit(java.sql.Timestamp.valueOf(ts))
+      // session-TZ parse (harness pins UTC); foldable → still pushable.
+      // Timestamp.valueOf would parse in the JVM default TZ and shift
+      // the instant on non-UTC hosts.
+      case _ => to_timestamp(lit(ts))
     }
 
   /** events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond

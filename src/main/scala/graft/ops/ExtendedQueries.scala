@@ -282,7 +282,9 @@ object ExtendedQueries {
       |ORDER BY revenue DESC, l.l_orderkey LIMIT 20""".stripMargin
   ) { (spark, dir) =>
     import graft.functions.Functions.dec
-    val cutoff = java.sql.Timestamp.valueOf("1995-03-15 00:00:00")
+    // session-TZ parse (pinned UTC), not JVM-default-TZ Timestamp.valueOf;
+    // foldable, so the comparison still pushes into the parquet scan
+    val cutoff = to_timestamp(lit("1995-03-15 00:00:00"))
     val c = table(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val o = table(spark, dir, "orders")
@@ -738,7 +740,10 @@ object ExtendedQueries {
        |ORDER BY custkey""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val cutoff = java.sql.Timestamp.valueOf(mergeCutoff)
+    // to_timestamp resolves in the SESSION time zone (pinned UTC by the
+    // harness) — java.sql.Timestamp.valueOf would parse in the JVM
+    // default TZ and shift the cutoff instant on non-UTC hosts
+    val cutoff = to_timestamp(lit(mergeCutoff))
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     def latest(df: DataFrame, prefix: String): DataFrame =
@@ -797,18 +802,25 @@ object ExtendedQueries {
   // Expand (2 rows per input) → one hash aggregate. The -1/'<all>'
   // markers keep the NULL sort portability of q18.
   // ---------------------------------------------------------------------
-  private val q38Sql =
-    """SELECT COALESCE(c_nationkey, -1) AS nationkey,
-      |  COALESCE(c_mktsegment, '<all>') AS segment,
-      |  COUNT(*) AS cnt,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
-      |FROM customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
-      |ORDER BY nationkey, segment""".stripMargin
+  /** One SQL text, parameterized by the table name — the oracle runs it
+    * against DuckDB's `customer` view, the Spark side against a
+    * session-scoped temp view (so no shared-session relation is
+    * shadowed and no fragile string surgery on the query text).
+    * nationkey is CAST to BIGINT per the determinism contract (output
+    * columns long/string/double only — 32-bit columns risk typed-hash
+    * width mismatches, the round-4 t07 failure class).
+    */
+  private def q38Sql(tbl: String) =
+    s"""SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nationkey,
+       |  COALESCE(c_mktsegment, '<all>') AS segment,
+       |  COUNT(*) AS cnt,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+       |FROM $tbl GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+       |ORDER BY nationkey, segment""".stripMargin
 
-  val q38 = Q("q38_grouping_sets", q38Sql) { (spark, dir) =>
-    // session-scoped view name so no shared-session relation is shadowed
+  val q38 = Q("q38_grouping_sets", q38Sql("customer")) { (spark, dir) =>
     table(spark, dir, "customer").createOrReplaceTempView("q38_customer")
-    spark.sql(q38Sql.replace("FROM customer", "FROM q38_customer"))
+    spark.sql(q38Sql("q38_customer"))
   }
 
   // ---------------------------------------------------------------------

@@ -109,9 +109,13 @@ object MultimodalQueries {
       |  SELECT unnest(generate_series(0, n_frames - 1)) AS frame_id) f
       |ORDER BY doc_id, f.frame_id""".stripMargin
   ) { (spark, dir) =>
+    // octet_length (UTF-8 BYTE count), matching the oracle's
+    // octet_length(encode(text)) — length() counts CHARACTERS and
+    // diverges on any multi-byte text (the payload is bytes, so byte
+    // count is also the semantically right "media size")
     table(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
-        (lit(1) + length(col("text")).cast("long") % 8).as("n_frames"))
+        (lit(1) + octet_length(col("text")).cast("long") % 8).as("n_frames"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
       .select(col("doc_id"), col("frame_id"),
@@ -150,7 +154,7 @@ object MultimodalQueries {
   ) { (spark, dir) =>
     val frames = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
-        (lit(1) + length(col("text")).cast("long") % 8).as("n_frames"))
+        (lit(1) + octet_length(col("text")).cast("long") % 8).as("n_frames"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
       .select(col("doc_id"),

@@ -520,12 +520,20 @@ object VectorQueries {
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    val pool = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+    // rank on the scalar cosine ONLY — the Q×N rank shuffle carries
+    // (qid, vec_id, cos); unit vectors attach AFTER the mmrPool filter
+    // (Q×mmrPool rows) via a broadcast join back to the corpus, so no
+    // 64-double array ever rides the wide shuffle or is normalized per
+    // (query, vector) pair
+    val shortlist = broadcast(q).join(e, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"),
-        transform(col("v"), x => x / col("nrm")).as("vu"))
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= mmrPool)
+    val pool = e
+      .join(broadcast(shortlist), "vec_id")
+      .select(col("qid"), col("vec_id"), col("cos"),
+        transform(col("v"), x => x / col("nrm")).as("vu"))
     val greedy = udf { cands: Seq[org.apache.spark.sql.Row] =>
       mmrSelect(cands.map(r => (r.getDouble(0), r.getLong(1),
         r.getSeq[Double](2).toArray)), mmrK, mmrLambda)
