@@ -111,6 +111,21 @@ class Round5Spec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("q35: Spark 4 VARIANT path (parse_json + variant_get) agrees with from_json") {
+    // the semi-structured scale path when the payload schema is NOT
+    // known up front: parse once to VARIANT, extract typed fields
+    // lazily — q35 uses from_json because its schema IS declared
+    val ev = graft.io.Tables.table(spark, sf, "events")
+    val viaVariant = ev.select(
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .as[Long].collect()
+    val viaStruct = ev.select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+        .getField("k").as("k"))
+      .as[Long].collect()
+    assert(viaVariant.toSeq === viaStruct.toSeq)
+  }
+
   test("q36: merge ops partition customers and pick the latest order per side") {
     val rows = ExtendedQueries.q36.fn(spark, sf).collect()
     val orders = graft.io.Tables.table(spark, sf, "orders")
