@@ -60,5 +60,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(q26.contains("ObjectHashAggregate"), "q26: TopKAgg not object-agg planned")
     assert("ObjectHashAggregate".r.findAllIn(q26).length >= 2,
       "q26: no partial aggregation phase before the shuffle")
+    // p08's source cap runs on the same aggregate and must keep the
+    // map-side phase — the property that bounds its shuffle to K·sources
+    val p08 = executedPlan("p08_source_cap")
+    assert("ObjectHashAggregate".r.findAllIn(p08).length >= 2,
+      "p08: TopKAgg lost its partial aggregation phase")
+    // t10's corpus top-20 must be an ordered take, not a global sort
+    assert(executedPlan("t10_bigram_colloc").contains("TakeOrderedAndProject"),
+      "t10: top-20 planned as a full sort")
+  }
+
+  test("q39 funnel: all three chained windows and the aggregate share one hash exchange") {
+    // count only the executed section — adaptive plans append an
+    // "== Initial Plan ==" echo that would double-count operators
+    val plan = executedPlan("q39_funnel").split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"q39: expected exactly 1 hash exchange (shared user_id partitioning), got $hashExchanges")
   }
 }

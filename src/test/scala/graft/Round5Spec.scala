@@ -154,6 +154,35 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q39 funnel: stage timestamps are ordered and match the null pattern") {
+    val rows = ExtendedQueries.q39.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = Option(r.get(1)).map(_.asInstanceOf[Long])
+      val c = Option(r.get(2)).map(_.asInstanceOf[Long])
+      val p = Option(r.get(3)).map(_.asInstanceOf[Long])
+      val stage = r.getLong(4)
+      // each stage requires the previous one, at-or-after its timestamp
+      assert(c.isEmpty || (v.nonEmpty && c.get >= v.get))
+      assert(p.isEmpty || (c.nonEmpty && p.get >= c.get))
+      val expected = if (p.nonEmpty) 3L else if (c.nonEmpty) 2L
+        else if (v.nonEmpty) 1L else 0L
+      assert(stage === expected)
+    }
+  }
+
+  test("q40 cohort retention: offset-0 cell equals the cohort's user count") {
+    val rows = ExtendedQueries.q40.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every user appears in their cohort's offset-0 cell (first-activity
+    // week IS an activity week), so Σ offset-0 = distinct users
+    val users = graft.io.Tables.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._3).sum === users)
+    rows.foreach { case (_, off, n) => assert(off >= 0L && n > 0L) }
+  }
+
   test("s05 MMR: first pick is the exact NN, k picks from the pool, greedy reproducible") {
     val picks = VectorQueries.s05.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
