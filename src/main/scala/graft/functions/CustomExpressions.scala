@@ -212,6 +212,139 @@ case class SimHashAgg(
   override def prettyName: String = "simhash_agg"
 }
 
+object TopCells {
+  /** SQL/call_function builder: `top_cells(v, centroidsLiteral, k)` with
+    * a foldable array<array<double>> centroid literal and literal k.
+    */
+  def fromExprs(exprs: Seq[Expression]): TopCells = {
+    require(exprs.length == 3, "top_cells(vector, centroids, k) takes 3 arguments")
+    val shapeOk = exprs(1).dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    require(exprs(1).foldable && shapeOk,
+      s"top_cells centroids must be a foldable array<array<double>>, got ${exprs(1).dataType.sql}")
+    val outer = exprs(1).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cs = (0 until outer.numElements())
+      .map(i => outer.getArray(i).toDoubleArray()).toArray
+    require(exprs(2).foldable, "top_cells k must be a literal")
+    val k = exprs(2).eval().asInstanceOf[Number].intValue()
+    require(k > 0 && k <= cs.length, s"top_cells k must be in [1, ${cs.length}]")
+    TopCells(exprs.head, cs, k)
+  }
+}
+
+/** Top-k inverted-list cells by centroid dot product — the IVF routing
+  * primitive (cell assignment at k=1, multi-probe at k>1). One codegen'd
+  * double loop replaces the composed `sort_array(array(struct(dot, i),
+  * ...))` ranking tree, whose SortArray node is CodegenFallback and
+  * drops the whole per-row projection out of whole-stage codegen — the
+  * same failure mode PqEncode fixed for the s04 encoder. Selection
+  * order matches the composed form bit-for-bit: (dot, cellId)
+  * lexicographic DESCENDING (ties → larger id first), dots accumulated
+  * in ascending element order like ArrayDot.
+  */
+case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
+    extends UnaryExpression {
+
+  private val numCells = centroids.length
+  private val dim = centroids(0).length
+
+  /** [cell*dim] row-major centroid components. */
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](numCells * dim)
+    var c = 0
+    while (c < numCells) {
+      var d = 0
+      while (d < dim) { a(c * dim + d) = centroids(c)(d); d += 1 }
+      c += 1
+    }
+    a
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val dots = new Array[Double](numCells)
+    var c = 0
+    while (c < numCells) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += v.getDouble(d) * flat(c * dim + d); d += 1 }
+      dots(c) = s
+      c += 1
+    }
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](numCells)
+    var p = 0
+    while (p < k) {
+      var bestI = -1
+      var best = Double.NegativeInfinity
+      var i = 0
+      while (i < numCells) {
+        // (dot, id) lexicographic desc: strictly-greater dot wins, equal
+        // dot → larger id wins (matches sort_array desc on the struct)
+        if (!used(i) && (bestI < 0 || dots(i) > best ||
+            (dots(i) == best && i > bestI))) {
+          best = dots(i); bestI = i
+        }
+        i += 1
+      }
+      used(bestI) = true
+      out(p) = bestI
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val flatRef = ctx.addReferenceObj("cellFlat", flat, "double[]")
+      val dots = ctx.freshName("dots")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bestI = ctx.freshName("bestI")
+      s"""
+         |double[] $dots = new double[$numCells];
+         |for (int $c = 0; $c < $numCells; $c++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    $s += $v.getDouble($d) * $flatRef[$c * $dim + $d];
+         |  }
+         |  $dots[$c] = $s;
+         |}
+         |boolean[] $used = new boolean[$numCells];
+         |int[] $out = new int[$k];
+         |for (int $p = 0; $p < $k; $p++) {
+         |  int $bestI = -1;
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  for (int $i = 0; $i < $numCells; $i++) {
+         |    if (!$used[$i] && ($bestI < 0 || $dots[$i] > $best ||
+         |        ($dots[$i] == $best && $i > $bestI))) {
+         |      $best = $dots[$i]; $bestI = $i;
+         |    }
+         |  }
+         |  $used[$bestI] = true;
+         |  $out[$p] = $bestI;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopCells =
+    copy(child = newChild)
+  override def prettyName: String = "top_cells"
+}
+
 object NGramExplode {
   /** SQL/call_function builder: `ngrams(arr, n)` with a foldable
     * positive integer n.
@@ -315,6 +448,8 @@ object CustomFunctions {
       "pq_encode", PqEncode.fromExprs, "built-in")
     reg.createOrReplaceTempFunction(
       "ngrams", NGramExplode.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction(
+      "top_cells", TopCells.fromExprs, "built-in")
     // Spark's own runtime-filter expressions (what InjectRuntimeFilter
     // plants under AQE), exposed for EXPLICIT semi-join reduction (q32):
     // a distributed bloom build over xxhash64'd keys, and the codegen'd

@@ -215,15 +215,26 @@ object VectorQueries {
   }
 
   /** (dot, cellId) structs for every centroid, descending-sorted so
-    * element 1 is the best cell, element 2 the second probe.
+    * element 1 is the best cell, element 2 the second probe. The
+    * COMPOSED form — SortArray is CodegenFallback, so this drops the
+    * per-row projection out of whole-stage codegen; kept as the
+    * spec-pinned reference model for [[topCells]], which is the
+    * codegen'd route every query uses (same PqEncode-vs-composed
+    * story as s04's encoder).
     */
-  private def cellRanking(v: Column, cs: Array[Array[Double]]): Column =
+  def cellRanking(v: Column, cs: Array[Array[Double]]): Column =
     sort_array(array(cs.zipWithIndex.map { case (c, i) =>
       struct(dot(v, typedLit(c.toSeq)).as("d"), lit(i).as("i"))
     }: _*), asc = false)
 
+  /** Codegen'd top-k cells by centroid dot — bit-identical selection
+    * order to [[cellRanking]] (VectorPqSpec pins it).
+    */
+  def topCells(v: Column, cs: Array[Array[Double]], k: Int): Column =
+    call_function("top_cells", v, typedLit(cs.map(_.toSeq).toSeq), lit(k))
+
   def cellOf(v: Column, cs: Array[Array[Double]]): Column =
-    element_at(cellRanking(v, cs), 1).getField("i")
+    element_at(topCells(v, cs, 1), 1)
 
   val s03 = Q.noOracle("s03_ann_ivf_probed") { (spark, dir) =>
     val cs = trainedCentroids(spark, dir)
@@ -235,8 +246,7 @@ object VectorQueries {
     // (PlanQualitySpec pins the absence of nested-loop joins here)
     val q = vectors(spark, dir).filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(slice(transform(cellRanking(col("v"), cs), _.getField("i")),
-          1, 2)).as("cell"))
+        explode(topCells(col("v"), cs, 2)).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     broadcast(q)
       .join(e, Seq("cell"))

@@ -14,6 +14,23 @@ class VectorPqSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
 
+  test("top_cells codegen expression equals the composed sort_array ranking") {
+    graft.functions.CustomFunctions.register(spark)
+    val cs = VectorQueries.trainedCentroids(spark, sf)
+    val e = graft.io.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Seq(1, 2, 5).foreach { k =>
+      val got = e.select(col("vec_id"),
+          VectorQueries.topCells(col("v"), cs, k).as("cells"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+      val want = e.select(col("vec_id"),
+          slice(transform(VectorQueries.cellRanking(col("v"), cs),
+            _.getField("i")), 1, k).as("cells"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+      assert(got.toSeq === want.toSeq, s"k=$k")
+    }
+  }
+
   test("s04 PQ output is deterministic across invocations") {
     val a = VectorQueries.s04.fn(spark, sf).collect().toSeq
     val b = VectorQueries.s04.fn(spark, sf).collect().toSeq
