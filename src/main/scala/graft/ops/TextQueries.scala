@@ -635,14 +635,16 @@ object TextQueries {
        |FROM documents d LEFT JOIN m USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   ) { (spark, dir) =>
+    CustomFunctions.register(spark)
     val docs = table(spark, dir, "documents")
+    // native NGramExplode generator (same bigram strings as the
+    // transform(sequence)+explode composition — Round5Spec pins the
+    // equivalence — without materializing each doc's bigram array or
+    // running the lambda interpretively per window)
     val bi = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2) // sequence(1, 0) would count DOWN in Spark
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("w")) - 1),
-        i => concat(element_at(col("w"), i), lit(" "),
-          element_at(col("w"), i + 1)))).as("bg"))
+      .select(col("doc_id"), call_function("ngrams", col("w"), lit(2)))
+      .withColumnRenamed("ngram", "bg")
     val m = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_bigrams"),
