@@ -779,6 +779,60 @@ object TextQueries {
       .orderBy("source", "rk")
   }
 
+  // ---------------------------------------------------------------------
+  // p09 — data-quality constraint report (the deequ-style validation
+  // gate a pipeline runs before training): completeness, key
+  // uniqueness, metadata-consistency (n_chars must equal the actual
+  // text length), domain membership, and range checks — ALL computed in
+  // ONE aggregation pass over the corpus (each constraint is a
+  // conditional aggregate of the same scan; a naive validator runs one
+  // scan per rule). The scalar report row is then unpivoted to
+  // (check, metric, pass) rows — the shape monitoring systems ingest.
+  // Ratios are exact integer quotients; everything hash-matches.
+  // ---------------------------------------------------------------------
+  val p09 = Q("p09_data_quality",
+    """WITH m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(COUNT(text) AS DOUBLE) AS text_nonnull,
+      |    CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS distinct_ids,
+      |    CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS DOUBLE)
+      |      AS nchars_consistent,
+      |    CAST(SUM(CASE WHEN lang IN ('en','es','de','fr','zh') THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS lang_in_domain,
+      |    CAST(SUM(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS nchars_in_range
+      |  FROM documents)
+      |SELECT chk, metric, CAST(CASE WHEN metric >= 1.0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM (
+      |  SELECT 'completeness_text' AS chk, text_nonnull / n AS metric FROM m
+      |  UNION ALL SELECT 'uniqueness_doc_id', distinct_ids / n FROM m
+      |  UNION ALL SELECT 'consistency_n_chars', nchars_consistent / n FROM m
+      |  UNION ALL SELECT 'domain_lang', lang_in_domain / n FROM m
+      |  UNION ALL SELECT 'range_n_chars', nchars_in_range / n FROM m)
+      |ORDER BY chk""".stripMargin
+  ) { (spark, dir) =>
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val m = table(spark, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n"),
+        count(col("text")).cast("double").as("text_nonnull"),
+        count_distinct(col("doc_id")).cast("double").as("distinct_ids"),
+        sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
+          .cast("double").as("nchars_consistent"),
+        sum(when(col("lang").isin(langs: _*), 1L).otherwise(0L))
+          .cast("double").as("lang_in_domain"),
+        sum(when(col("n_chars").between(1L, 100000L), 1L).otherwise(0L))
+          .cast("double").as("nchars_in_range"))
+      .select((col("text_nonnull") / col("n")).as("completeness_text"),
+        (col("distinct_ids") / col("n")).as("uniqueness_doc_id"),
+        (col("nchars_consistent") / col("n")).as("consistency_n_chars"),
+        (col("lang_in_domain") / col("n")).as("domain_lang"),
+        (col("nchars_in_range") / col("n")).as("range_n_chars"))
+    m.unpivot(Array.empty, "chk", "metric")
+      .select(col("chk"), col("metric"),
+        when(col("metric") >= 1.0, 1L).otherwise(0L).as("pass"))
+      .orderBy("chk")
+  }
+
   val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    p01, p02, p03, p04, p06, p07, p08)
+    p01, p02, p03, p04, p06, p07, p08, p09)
 }
