@@ -212,6 +212,71 @@ case class SimHashAgg(
   override def prettyName: String = "simhash_agg"
 }
 
+object Md5Lower64 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 64 bits of the MD5 digest (bytes 8..15, little-endian) as a
+    * signed long — the bit pattern DuckDB's `md5_number_lower` yields as
+    * UBIGINT. Called from generated code; MessageDigest is per-thread.
+    */
+  def hash64(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (dig(i) & 0xffL); i -= 1 }
+    h
+  }
+}
+
+/** 64-bit feature hash with a DuckDB twin: `md5_lower64(s)` equals
+  * DuckDB `md5_number_lower(s)` bit-for-bit (as the signed
+  * reinterpretation), unlike `xxhash64`, which no oracle engine can
+  * recompute. Used by d04 so the SimHash pipeline is fully
+  * oracle-checkable end to end; hashing cost is one MD5 per shingle —
+  * acceptable for a dedup signature pass (and the price of
+  * verifiability).
+  */
+case class Md5Lower64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_lower64 requires string or binary, got ${other.simpleString(10)}")
+    }
+
+  private def toBytes(input: Any): Array[Byte] = input match {
+    case s: UTF8String => s.getBytes
+    case b: Array[Byte] => b
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Lower64.hash64(toBytes(input))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytesExpr = child.dataType match {
+      case StringType => (c: String) => s"$c.getBytes()"
+      case _ => (c: String) => c
+    }
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.Md5Lower64.hash64(${bytesExpr(c)});"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Lower64 =
+    copy(child = newChild)
+  override def prettyName: String = "md5_lower64"
+}
+
 object TopCells {
   /** SQL/call_function builder: `top_cells(v, centroidsLiteral, k)` with
     * a foldable array<array<double>> centroid literal and literal k.
@@ -450,6 +515,8 @@ object CustomFunctions {
       "ngrams", NGramExplode.fromExprs, "built-in")
     reg.createOrReplaceTempFunction(
       "top_cells", TopCells.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction(
+      "md5_lower64", exprs => Md5Lower64(exprs.head), "built-in")
     // Spark's own runtime-filter expressions (what InjectRuntimeFilter
     // plants under AQE), exposed for EXPLICIT semi-join reduction (q32):
     // a distributed bloom build over xxhash64'd keys, and the codegen'd

@@ -263,25 +263,61 @@ object DedupQueries {
   // d04 — SimHash near-dedup: 64-bit trigram SimHash per doc (custom
   // single-pass aggregate), candidate pairs via 4×16-bit chunk blocking
   // (hamming ≤ 3 ⇒ at least one chunk identical, by pigeonhole), then
-  // verified bit_count(xor) ≤ 3. xxhash64 isn't available to DuckDB, so
-  // this is a rows-only query; SimHashSpec pins the semantics (a
-  // single-feature group's signature is the feature hash itself, and the
-  // blocked pipeline returns exactly the brute-force hamming ≤ 3 pairs).
+  // verified bit_count(xor) ≤ 3. Feature hashes come from the native
+  // `md5_lower64` expression — bit-identical to DuckDB's
+  // `md5_number_lower` — so the ENTIRE pipeline (per-bit vote
+  // aggregation, signature assembly, chunk blocking, hamming verify) is
+  // recomputed by the oracle and hash-matched end to end (rounds ≤ 4
+  // used xxhash64, which no oracle engine could recompute → rows-only).
+  // SimHashSpec additionally pins the semantics (a single-feature
+  // group's signature is the feature hash itself; the blocked pipeline
+  // returns exactly the brute-force hamming ≤ 3 pairs).
   //
   // The output additionally carries a constant `brute_matches` column —
   // a genuine brute-force count over the signature relation (one 8-byte
   // sig per doc, broadcast; O(N²/2) popcounts but zero shuffle) — so the
-  // driver's rows-only row itself witnesses the blocked ≡ brute-force
-  // invariant: brute_matches always equals the emitted row count. At
-  // 100 TB you would run this self-check on a sample, not the corpus.
+  // result itself witnesses the blocked ≡ brute-force invariant:
+  // brute_matches always equals the emitted row count. At 100 TB you
+  // would run this self-check on a sample, not the corpus.
   // ---------------------------------------------------------------------
   val hammingMax = 3
 
-  val d04 = Q.noOracle("d04_dedup_simhash") { (spark, dir) =>
+  val d04 = Q("d04_dedup_simhash",
+    s"""WITH $trigramCte,
+       |h AS (SELECT doc_id, md5_number_lower(g) AS h FROM grams),
+       |votes AS (
+       |  SELECT doc_id, bb.b AS b,
+       |    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+       |  GROUP BY 1, 2),
+       |sigu AS (
+       |  SELECT doc_id, SUM(CASE WHEN v > 0
+       |    THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END) AS s
+       |  FROM votes GROUP BY 1),
+       |sig AS (
+       |  SELECT doc_id, CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+       |    THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END AS BIGINT) AS sig
+       |  FROM sigu),
+       |ch AS (
+       |  SELECT doc_id, sig, ii.i AS chunk_id, (sig >> (ii.i * 16)) & 65535 AS chunk
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM ch a JOIN ch b
+       |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+       |brute AS (
+       |  SELECT COUNT(*) AS brute_matches FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $hammingMax)
+       |SELECT doc_a, doc_b, hamming, brute_matches
+       |FROM cand, brute WHERE hamming <= $hammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (spark, dir) =>
     CustomFunctions.register(spark)
     val grams = sharedGrams(spark, dir)
     val sigs = grams.groupBy("doc_id")
-      .agg(call_function("simhash64", xxhash64(col("g"))).as("sig"))
+      .agg(call_function("simhash64",
+        call_function("md5_lower64", col("g"))).as("sig"))
     // (sig >> n) & 0xFFFF: arithmetic shift + mask == logical shift for
     // the low 16 bits, so the sign bit never leaks into a chunk.
     // Cached + memoized: both sides of the chunk self-join would

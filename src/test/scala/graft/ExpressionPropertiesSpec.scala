@@ -132,6 +132,22 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("Md5Lower64: little-endian low 8 digest bytes, matches DuckDB's known value") {
+    // DuckDB: SELECT md5_number_lower('abc') = 8250560606382298838
+    val abc = graft.functions.Md5Lower64(
+      Literal(UTF8String.fromString("abc"), StringType)).eval(InternalRow.empty)
+    assert(abc === 8250560606382298838L)
+    val gen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    check(Prop.forAll(gen) { s =>
+      val got = graft.functions.Md5Lower64(
+        Literal(UTF8String.fromString(s), StringType)).eval(InternalRow.empty)
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val want = (8 to 15).foldRight(0L)((i, acc) => (acc << 8) | (dig(i) & 0xffL))
+      got == want
+    })
+  }
+
   test("NGramExplode: emits max(0, len-n+1) windows, each the joined slice") {
     val tok = Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
     val gen = for {

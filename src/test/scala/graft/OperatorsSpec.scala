@@ -42,7 +42,8 @@ class OperatorsSpec extends SparkSpec {
     graft.functions.CustomFunctions.register(spark)
     val grams = DedupQueries.wordTrigrams(spark.read.parquet(s"$sf/documents.parquet"))
     val sigs = grams.groupBy("doc_id")
-      .agg(call_function("simhash64", xxhash64(col("g"))).as("sig"))
+      .agg(call_function("simhash64",
+        call_function("md5_lower64", col("g"))).as("sig"))
     val brute = sigs.toDF("a", "sa")
       .join(sigs.toDF("b", "sb"), col("a") < col("b"))
       .select(col("a"), col("b"),
