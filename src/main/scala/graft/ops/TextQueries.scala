@@ -494,30 +494,61 @@ object TextQueries {
   // "how often does token X occur?" without materializing the full
   // token→count table — the overflow path t05's scaladoc points to, and
   // the third sketch family in the engine (after HLL q20 and
-  // MinHash/SimHash d03/d04). Spark's built-in `count_min_sketch`
-  // aggregate builds the sketch distributed (per-partition sketches
-  // merge by counter addition — commutative, so the result is
-  // deterministic for a fixed seed); only the KB-sized sketch reaches
-  // the driver, never the counts. Output: the exact top-20 tokens with
-  // their true and estimated frequencies. CMS guarantees
-  // est ≥ true and P(est ≤ true + ε·N) ≥ δ — sketch internals aren't
-  // SQL-expressible → rows-only; the spec pins both bounds.
+  // MinHash/SimHash d03/d04). The sketch is materialized RELATIONALLY:
+  // d=5 hash rows × w=4096 buckets as a (row, bucket, count) relation —
+  // a hash groupBy with map-side partial aggregation whose key space is
+  // bounded at d·w regardless of corpus size; estimates are a probe
+  // join + MIN. Buckets come from `md5_lower64 & (w-1)` — w is a power
+  // of two so the signed Spark value and DuckDB's unsigned
+  // `md5_number_lower` mask identically — making the WHOLE sketch
+  // oracle-recomputable and hash-matched (rounds ≤ 4 used Spark's
+  // opaque `count_min_sketch` bytes → rows-only). Same guarantees:
+  // est ≥ true, P(est ≤ true + ε·N) high, ε ≈ e/w < 0.001; the spec
+  // pins both bounds. Output: exact top-20 tokens, true + estimated
+  // frequency.
   // ---------------------------------------------------------------------
   val cmEps = 0.001
-  val cmConfidence = 0.99
+  val cmDepth = 5
+  val cmWidth = 4096 // power of two: signed & unsigned masks agree
 
-  val t06 = Q.noOracle("t06_count_min") { (spark, dir) =>
+  val t06 = Q("t06_count_min",
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hashed AS (
+       |  SELECT ii.i AS i,
+       |    CAST(md5_number_lower(CAST(ii.i AS VARCHAR) || ':' || tok)
+       |         & ${cmWidth - 1} AS BIGINT) AS bucket
+       |  FROM toks CROSS JOIN (SELECT unnest(range(0, $cmDepth)) AS i) ii),
+       |sketch AS (SELECT i, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+       |top AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1
+       |        ORDER BY freq DESC, tok LIMIT 20),
+       |probes AS (
+       |  SELECT tok, freq, ii.i AS i,
+       |    CAST(md5_number_lower(CAST(ii.i AS VARCHAR) || ':' || tok)
+       |         & ${cmWidth - 1} AS BIGINT) AS bucket
+       |  FROM top CROSS JOIN (SELECT unnest(range(0, $cmDepth)) AS i) ii)
+       |SELECT p.tok, p.freq, MIN(s.c) AS cm_estimate
+       |FROM probes p JOIN sketch s USING (i, bucket)
+       |GROUP BY 1, 2 ORDER BY freq DESC, tok""".stripMargin
+  ) { (spark, dir) =>
+    CustomFunctions.register(spark)
+    def bucket(i: Column, tok: Column): Column =
+      call_function("md5_lower64",
+        concat(i.cast("string"), lit(":"), tok))
+        .bitwiseAND(lit((cmWidth - 1).toLong))
     val toks = sharedToks(spark, dir).select("tok")
-    val sketchBytes = toks
-      .agg(count_min_sketch(col("tok"), lit(cmEps), lit(cmConfidence), lit(42)))
-      .collect()(0).getAs[Array[Byte]](0)
-    val cm = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
-    val estimate = udf((tok: String) => cm.estimateCount(tok))
-    toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val sketch = toks
+      .select(explode(sequence(lit(0), lit(cmDepth - 1))).as("i"), col("tok"))
+      .select(col("i"), bucket(col("i"), col("tok")).as("bucket"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok"))
       .limit(20)
-      .withColumn("cm_estimate", estimate(col("tok")))
+    top
+      .select(col("tok"), col("freq"),
+        explode(sequence(lit(0), lit(cmDepth - 1))).as("i"))
+      .withColumn("bucket", bucket(col("i"), col("tok")))
+      .join(sketch, Seq("i", "bucket"))
+      .groupBy("tok", "freq").agg(min(col("c")).as("cm_estimate"))
       .orderBy(col("freq").desc, col("tok"))
   }
 

@@ -105,9 +105,12 @@ object VectorQueries {
   // buckets; a query is compared only against its own bucket (≈ N/64 of
   // the corpus), then ranked. The approximate scale path for s01 — at
   // 100 TB the bucket id is the shuffle/partition key and each bucket is
-  // processed independently. Hyperplanes are seeded constants (planes
-  // aren't expressible to the SQL oracle → rows-only; OperatorsSpec pins
-  // bucket consistency and dominance against s01's exact answer).
+  // processed independently. The planes are seeded CONSTANTS, so they
+  // inline into the oracle SQL as double literals (shortest-repr
+  // round-trips exactly; the dot is the same strict left fold both
+  // sides) — fully oracled as of round 5 (rounds ≤ 4 treated the planes
+  // as inexpressible → rows-only). OperatorsSpec additionally pins
+  // bucket consistency and dominance against s01's exact answer.
   // ---------------------------------------------------------------------
   private val numPlanes = 6
   lazy val planes: Array[Array[Double]] = {
@@ -120,7 +123,26 @@ object VectorQueries {
       acc + when(dot(v, typedLit(p.toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
 
-  val s02 = Q.noOracle("s02_ann_lsh_bucketed") { (spark, dir) =>
+  private def planeSqlLit(p: Array[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  val s02 = Q("s02_ann_lsh_bucketed", {
+    val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${dotSql("v", planeSqlLit(p))} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH $vectorsCte,
+       |b AS (SELECT vec_id, v, nrm,
+       |    $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket
+       |      FROM b WHERE vec_id < $numQueries),
+       |pairs AS (
+       |  SELECT q.qid, t.vec_id, ${dotSql("q.qv", "t.v")} / (q.qn * t.nrm) AS cos
+       |  FROM q JOIN b t USING (bucket) WHERE t.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, cos, row_number() OVER (
+       |  PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM pairs)
+       |SELECT qid, rank, vec_id AS neighbor_id, cos FROM ranked
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }) { (spark, dir) =>
     val e = vectors(spark, dir).withColumn("bucket", bucketOf(col("v")))
     val qb = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
