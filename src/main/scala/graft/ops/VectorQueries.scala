@@ -258,7 +258,47 @@ object VectorQueries {
   def cellOf(v: Column, cs: Array[Array[Double]]): Column =
     element_at(topCells(v, cs, 1), 1)
 
-  val s03 = Q.noOracle("s03_ann_ivf_probed") { (spark, dir) =>
+  /** The session's trained centroids, available at ORACLE-DUMP time:
+    * Q.oracle is a thunk and graft.Verify dumps oracle SQL AFTER
+    * running every query, so the constants k-means trained during the
+    * run can inline into the oracle text as literals — the oracle then
+    * verifies everything downstream of training (training itself is
+    * seed-pinned by ExtendedSpec). Defined only when exactly one
+    * (session, dir) trained — the Verify scenario; ambiguous sessions
+    * degrade to the rows-only check.
+    */
+  private def soleCentroids: Option[Array[Array[Double]]] =
+    if (centroidsMemo.size == 1) Some(centroidsMemo.values.head) else None
+
+  /** DuckDB fragment ranking all cells for the row's `v`: struct list
+    * sorted ascending then reversed, so `[1]` is the best (max dot,
+    * ties to the LARGER id — TopCells' exact order) and `[2]` the
+    * second probe.
+    */
+  private def cellsRankedSql(cs: Array[Array[Double]]): String =
+    "list_reverse(list_sort([" + cs.zipWithIndex.map { case (c, i) =>
+      s"struct_pack(d := ${dotSql("v", planeSqlLit(c))}, i := $i)"
+    }.mkString(",\n      ") + "]))"
+
+  val s03: Q = Q("s03_ann_ivf_probed",
+    (spark, dir) => s03Body(spark, dir),
+    () => soleCentroids.map { cs =>
+      s"""WITH $vectorsCte,
+         |r AS (SELECT vec_id, v, nrm, ${cellsRankedSql(cs)} AS cells FROM e),
+         |b AS (SELECT vec_id, v, nrm, CAST(cells[1].i AS BIGINT) AS cell FROM r),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
+         |    unnest([CAST(cells[1].i AS BIGINT), CAST(cells[2].i AS BIGINT)]) AS cell
+         |  FROM r WHERE vec_id < $numQueries),
+         |pairs AS (
+         |  SELECT q.qid, t.vec_id, ${dotSql("q.qv", "t.v")} / (q.qn * t.nrm) AS cos
+         |  FROM q JOIN b t USING (cell) WHERE t.vec_id <> q.qid),
+         |ranked AS (SELECT qid, vec_id, cos, row_number() OVER (
+         |  PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM pairs)
+         |SELECT qid, rank, vec_id AS neighbor_id, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    })
+
+  private def s03Body(spark: SparkSession, dir: String): DataFrame = {
     val cs = trainedCentroids(spark, dir)
     val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
     // one probe ROW per (query, probed cell): the OR-condition join
@@ -356,7 +396,71 @@ object VectorQueries {
     call_function("pq_encode", vn,
       typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq))
 
-  val s04 = Q.noOracle("s04_ann_pq_adc") { (spark, dir) =>
+  private def solePq: Option[Array[Array[Array[Double]]]] =
+    if (pqMemo.size == 1) Some(pqMemo.values.head) else None
+
+  /** Per-subspace argmin-code fragment over a normalized list column
+    * `vn` — mirrors PqEncode exactly: nd = ‖c‖²/2 − dot (half embedded
+    * as the SAME Scala-computed literal), ascending dot fold, ties to
+    * the lowest code (ascending struct sort).
+    */
+  private def pqCodeSql(cbs: Array[Array[Array[Double]]], s: Int): String = {
+    val lo = s * pqSubDim + 1
+    val hi = s * pqSubDim + pqSubDim
+    val entries = cbs(s).zipWithIndex.map { case (c, code) =>
+      val half = java.lang.Double.toString(c.map(x => x * x).sum / 2)
+      s"struct_pack(d := $half - ${dotSql(s"vn[$lo:$hi]", planeSqlLit(c))}, i := $code)"
+    }.mkString(",\n      ")
+    s"list_sort([$entries])[1].i"
+  }
+
+  /** ADC fragment: Σ_s lut[s][codes[s]] with the LUT dot recomputed
+    * per (query subvector, selected centroid literal) — explicit
+    * left-associative `+` chain preserving the Spark reduce order.
+    */
+  private def pqAdcSql(cbs: Array[Array[Array[Double]]]): String =
+    (0 until pqSubs).map { s =>
+      val lo = s * pqSubDim + 1
+      val hi = s * pqSubDim + pqSubDim
+      val cases = (0 until pqCodes).map { code =>
+        s"WHEN $code THEN ${dotSql(s"q.qvn[$lo:$hi]", planeSqlLit(cbs(s)(code)))}"
+      }.mkString("\n      ")
+      s"(CASE t.codes[${s + 1}] $cases END)"
+    }.mkString("\n    + ")
+
+  val s04: Q = Q("s04_ann_pq_adc",
+    (spark, dir) => s04Body(spark, dir),
+    // trained-codebook inlining at dump time (see soleCentroids): the
+    // oracle recomputes normalization, per-subspace argmin codes, the
+    // ADC LUT scan, the topK×factor shortlist, and the exact re-rank
+    () => solePq.map { cbs =>
+      s"""WITH $vectorsCte,
+         |enc AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e),
+         |codes AS (SELECT vec_id,
+         |    [${(0 until pqSubs).map(pqCodeSql(cbs, _)).mkString(",\n     ")}] AS codes
+         |  FROM enc),
+         |q AS (SELECT vec_id AS qid, list_transform(v, x -> x / nrm) AS qvn
+         |      FROM e WHERE vec_id < $numQueries),
+         |adc AS (
+         |  SELECT q.qid, t.vec_id,
+         |    ${pqAdcSql(cbs)} AS adc
+         |  FROM q, codes t WHERE t.vec_id <> q.qid),
+         |short AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn FROM adc)
+         |  WHERE rn <= ${topK * pqShortlistFactor}),
+         |rerank AS (
+         |  SELECT s.qid, s.vec_id,
+         |    ${dotSql("qe.v", "te.v")} / (qe.nrm * te.nrm) AS cos
+         |  FROM short s JOIN e te ON te.vec_id = s.vec_id
+         |  JOIN e qe ON qe.vec_id = s.qid),
+         |ranked AS (SELECT qid, vec_id, cos, row_number() OVER (
+         |  PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM rerank)
+         |SELECT qid, rank, vec_id AS neighbor_id, cos FROM ranked
+         |WHERE rank <= $topK ORDER BY qid, rank""".stripMargin
+    })
+
+  private def s04Body(spark: SparkSession, dir: String): DataFrame = {
     val cbs = trainedCodebooks(spark, dir)
     val e = vectors(spark, dir)
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))
@@ -465,18 +569,43 @@ object VectorQueries {
       .select("a", "b")
   }
 
-  val p05 = Q.noOracle("p05_semantic_dedup") { (spark, dir) =>
-    val cs = trainedCentroids(spark, dir)
-    val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
-    val comps = DedupQueries.connectedComponents(
-      e.select(col("vec_id").as("doc_id")), semanticEdges(spark, dir))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    e.select(col("vec_id"), col("cell").cast("long").as("cell"))
-      .join(comps, "vec_id")
-      .select(col("vec_id"), col("cell"), col("cluster_id"),
-        when(col("cluster_id") === col("vec_id"), 1L).otherwise(0L).as("keep"))
-      .orderBy("vec_id")
-  }
+  val p05: Q = Q("p05_semantic_dedup",
+    (spark, dir) => {
+      val cs = trainedCentroids(spark, dir)
+      val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
+      val comps = DedupQueries.connectedComponents(
+        e.select(col("vec_id").as("doc_id")), semanticEdges(spark, dir))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      e.select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .join(comps, "vec_id")
+        .select(col("vec_id"), col("cell"), col("cluster_id"),
+          when(col("cluster_id") === col("vec_id"), 1L).otherwise(0L).as("keep"))
+        .orderBy("vec_id")
+    },
+    // trained-constant inlining at dump time — see soleCentroids: the
+    // oracle recomputes cell assignment, the within-cell edge set, the
+    // transitive closure (d07's recursive-CTE pattern) and the
+    // representative choice end to end
+    () => soleCentroids.map { cs =>
+      s"""WITH RECURSIVE $vectorsCte,
+         |r AS (SELECT vec_id, v, nrm, ${cellsRankedSql(cs)} AS cells FROM e),
+         |b AS (SELECT vec_id, v, nrm, CAST(cells[1].i AS BIGINT) AS cell FROM r),
+         |sim AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) >= $semanticThreshold),
+         |edges AS (SELECT a, b FROM sim UNION ALL SELECT b AS a, a AS b FROM sim),
+         |reach(src, dst) AS (
+         |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+         |  UNION
+         |  SELECT r2.src, e2.b AS dst FROM reach r2 JOIN edges e2 ON r2.dst = e2.a)
+         |SELECT b.vec_id, b.cell, c.cluster_id,
+         |  CAST(CASE WHEN c.cluster_id = b.vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM b JOIN (
+         |  SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY 1) c
+         |  USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    })
 
   // ---------------------------------------------------------------------
   // s05 — MMR-diversified retrieval (Carbonell & Goldstein 1998): from
@@ -494,10 +623,13 @@ object VectorQueries {
   // mmrPool·dim doubles, grouped and distributed by qid — never a
   // driver collect.
   //
-  // Greedy selection is seed/data-order independent (ties broken by
-  // smaller id) but not SQL-expressible (iterative argmax) → rows-only;
-  // MmrSpec pins: first pick = exact NN, picks ⊆ pool, no duplicates,
-  // and a plain-Scala greedy recomputation matches exactly.
+  // The greedy IS SQL-expressible — as a recursive CTE whose recursive
+  // term carries the selected (ids, unit-vectors) lists and picks the
+  // per-step argmax via a LATERAL ORDER BY/LIMIT 1 — so s05 is fully
+  // DuckDB-oracled (round-5 upgrade from rows-only): same strict-fold
+  // dots, the same (1−λ) double constant Scala computes, ties to the
+  // smaller id, empty-set similarity 0. Round5Spec additionally pins
+  // first-pick = exact NN and a plain-Scala greedy recomputation.
   // ---------------------------------------------------------------------
   val mmrPool = 20
   val mmrK = 5
@@ -546,7 +678,35 @@ object VectorQueries {
     out.toSeq
   }
 
-  val s05 = Q.noOracle("s05_mmr_diversify") { (spark, dir) =>
+  val s05 = Q("s05_mmr_diversify", {
+    val lam = java.lang.Double.toString(mmrLambda)
+    val oneMinus = java.lang.Double.toString(1 - mmrLambda)
+    s"""WITH RECURSIVE $vectorsCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < $numQueries),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id, ${dotSql("q.qv", "e.v")} / (q.qn * e.nrm) AS cos,
+       |    list_transform(e.v, x -> x / e.nrm) AS vu
+       |  FROM q, e WHERE e.vec_id <> q.qid),
+       |pool AS (SELECT qid, vec_id, cos, vu FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= $mmrPool),
+       |sel(qid, step, ids, vus, picked_id, picked_mmr, picked_cos) AS (
+       |  SELECT DISTINCT qid, 0, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[][]),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM pool
+       |  UNION ALL
+       |  SELECT s.qid, s.step + 1, list_append(s.ids, w.vec_id),
+       |    list_append(s.vus, w.vu), w.vec_id, w.score, w.cos
+       |  FROM sel s JOIN LATERAL (
+       |    SELECT cand.vec_id, cand.cos, cand.vu,
+       |      $lam * cand.cos - $oneMinus * COALESCE(list_max(
+       |        list_transform(s.vus, sv -> ${dotSql("cand.vu", "sv")})), CAST(0 AS DOUBLE)) AS score
+       |    FROM pool cand WHERE cand.qid = s.qid AND NOT list_contains(s.ids, cand.vec_id)
+       |    ORDER BY score DESC, cand.vec_id LIMIT 1) w ON true
+       |  WHERE s.step < $mmrK)
+       |SELECT qid, CAST(step AS BIGINT) AS rank, picked_id AS neighbor_id,
+       |  picked_mmr AS mmr, picked_cos AS cos
+       |FROM sel WHERE step >= 1 ORDER BY qid, rank""".stripMargin
+  }) { (spark, dir) =>
     import spark.implicits._
     val e = vectors(spark, dir)
     val q = e.filter(col("vec_id") < numQueries)
