@@ -905,6 +905,61 @@ object ExtendedQueries {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  // ---------------------------------------------------------------------
+  // q41 — time-series gap-fill / resample: every user's activity rolled
+  // up to a DENSE hourly grid over the dataset's full hour range —
+  // missing hours materialized and forward-filled from the user's last
+  // observed hour (leading gaps stay NULL) — the regularization step
+  // before any windowed feature extraction or charting. Plan: one
+  // (user, hour) aggregate; the grid is users × sequence(min, max hour)
+  // (the 2-row bound relation broadcast — sanctioned scalar use); a
+  // left join pins observations onto the grid; last(ignoreNulls) over
+  // the user partition fills forward. Grid size is users × hours —
+  // generated, never shuffled wider than the final (user) partitioning;
+  // at 100 TB the grid is the small side of a broadcast-able dimension.
+  // ---------------------------------------------------------------------
+  private val hourNs = 3600L * 1000000000L
+
+  val q41 = Q("q41_gapfill",
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // $hourNs AS hour, value FROM events),
+       |obs AS (SELECT user_id, hour,
+       |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+       |  FROM ev GROUP BY 1, 2),
+       |bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+       |grid AS (SELECT u.user_id, g.hour FROM (SELECT DISTINCT user_id FROM ev) u
+       |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS hour FROM bounds) g),
+       |joined AS (
+       |  SELECT g.user_id, g.hour, o.v,
+       |    CAST(CASE WHEN o.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+       |  FROM grid g LEFT JOIN obs o USING (user_id, hour))
+       |SELECT user_id, hour,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+       |  filled
+       |FROM joined ORDER BY user_id, hour""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Functions.dec
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), expr(s"(ts - ts % 1000) div $hourNs").as("hour"),
+        col("value"))
+    val obs = ev.groupBy("user_id", "hour")
+      .agg(sum(dec(col("value"))).cast("double").as("v"))
+    val bounds = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val fill = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"), col("v"),
+        when(col("v").isNull, 1L).otherwise(0L).as("filled"))
+      .select(col("user_id"), col("hour"),
+        last(col("v"), ignoreNulls = true).over(fill).as("sum_value"),
+        col("filled"))
+      .orderBy("user_id", "hour")
+  }
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q33, q34, q35, q36, q37, q38, q39, q40)
+    q28, q29, q30, q31, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

@@ -25,7 +25,8 @@ class PlanQualitySpec extends SparkSpec {
     val allowedNestedLoop = Set("s01_ann_brute_topk", "d04_dedup_simhash",
       "q24_group_quantiles", // q24: 3-row literal quantile list cross join
       "s04_ann_pq_adc", // ADC scan: broadcast bounded query batch, like s01
-      "s05_mmr_diversify") // pool stage reuses s01's broadcast shortlist shape
+      "s05_mmr_diversify", // pool stage reuses s01's broadcast shortlist shape
+      "q41_gapfill") // grid = users × broadcast 1-row (minHour, maxHour) bounds
     SparkEntry.queries.keys.foreach { name =>
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
