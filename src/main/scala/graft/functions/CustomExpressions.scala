@@ -213,6 +213,12 @@ case class SimHashAgg(
 }
 
 object Md5Lower64 {
+  /** SQL/call_function builder with arity validation. */
+  def fromExprs(exprs: Seq[Expression]): Md5Lower64 = {
+    require(exprs.length == 1, "md5_lower64(value) takes exactly 1 argument")
+    Md5Lower64(exprs.head)
+  }
+
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -349,11 +355,15 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
       var best = Double.NegativeInfinity
       var i = 0
       while (i < numCells) {
-        // (dot, id) lexicographic desc: strictly-greater dot wins, equal
-        // dot → larger id wins (matches sort_array desc on the struct)
-        if (!used(i) && (bestI < 0 || dots(i) > best ||
-            (dots(i) == best && i > bestI))) {
-          best = dots(i); bestI = i
+        // (dot, id) lexicographic desc via Double.compare — a TOTAL
+        // order: NaN sorts largest (matching sort_array / DuckDB
+        // list_sort), equal dot → larger id wins. Raw >/== would never
+        // pick a NaN-dot cell appearing after a non-NaN one.
+        if (!used(i)) {
+          val c = java.lang.Double.compare(dots(i), best)
+          if (bestI < 0 || c > 0 || (c == 0 && i > bestI)) {
+            best = dots(i); bestI = i
+          }
         }
         i += 1
       }
@@ -377,6 +387,7 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
       val i = ctx.freshName("i")
       val best = ctx.freshName("best")
       val bestI = ctx.freshName("bestI")
+      val cmpRes = ctx.freshName("cmpRes")
       s"""
          |double[] $dots = new double[$numCells];
          |for (int $c = 0; $c < $numCells; $c++) {
@@ -392,9 +403,11 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
          |  int $bestI = -1;
          |  double $best = Double.NEGATIVE_INFINITY;
          |  for (int $i = 0; $i < $numCells; $i++) {
-         |    if (!$used[$i] && ($bestI < 0 || $dots[$i] > $best ||
-         |        ($dots[$i] == $best && $i > $bestI))) {
-         |      $best = $dots[$i]; $bestI = $i;
+         |    if (!$used[$i]) {
+         |      int $cmpRes = Double.compare($dots[$i], $best);
+         |      if ($bestI < 0 || $cmpRes > 0 || ($cmpRes == 0 && $i > $bestI)) {
+         |        $best = $dots[$i]; $bestI = $i;
+         |      }
          |    }
          |  }
          |  $used[$bestI] = true;
@@ -493,44 +506,53 @@ object CustomFunctions {
   val RollingHashBase = 31L
   val RollingHashMod = 1000000007L
 
+  /** The full native-function surface as ONE builder list: both
+    * registration paths — per-session FunctionRegistry ([[register]])
+    * and cluster-wide SparkSessionExtensions (graft.GraftExtensions) —
+    * iterate this, so they cannot drift apart (they had: round-5's
+    * additions reached only the session path for a while).
+    *
+    * The bloom entries are Spark's own runtime-filter expressions (what
+    * InjectRuntimeFilter plants under AQE), exposed for EXPLICIT
+    * semi-join reduction (q33): a distributed bloom build over
+    * xxhash64'd keys and the codegen'd membership probe.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
+    ("rolling_hash",
+      (exprs: Seq[Expression]) =>
+        RollingHash(exprs.head, RollingHashBase, RollingHashMod),
+      classOf[RollingHash]),
+    ("minhash128",
+      (exprs: Seq[Expression]) => MinHashAgg(exprs.head, 128),
+      classOf[MinHashAgg]),
+    ("simhash64",
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head),
+      classOf[SimHashAgg]),
+    ("array_dot",
+      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1)),
+      classOf[ArrayDot]),
+    ("array_count_in", ArrayCountIn.fromExprs _, classOf[ArrayCountIn]),
+    ("topk_agg", TopKAgg.fromExprs _, classOf[TopKAgg]),
+    ("pq_encode", PqEncode.fromExprs _, classOf[PqEncode]),
+    ("ngrams", NGramExplode.fromExprs _, classOf[NGramExplode]),
+    ("top_cells", TopCells.fromExprs _, classOf[TopCells]),
+    ("md5_lower64", Md5Lower64.fromExprs _, classOf[Md5Lower64]),
+    ("bloom_agg",
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1)),
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]),
+    ("bloom_might_contain",
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "rolling_hash",
-      exprs => RollingHash(exprs.head, RollingHashBase, RollingHashMod),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash128", exprs => MinHashAgg(exprs.head, 128), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHashAgg(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "array_count_in", ArrayCountIn.fromExprs, "built-in")
-    reg.createOrReplaceTempFunction(
-      "topk_agg", TopKAgg.fromExprs, "built-in")
-    reg.createOrReplaceTempFunction(
-      "pq_encode", PqEncode.fromExprs, "built-in")
-    reg.createOrReplaceTempFunction(
-      "ngrams", NGramExplode.fromExprs, "built-in")
-    reg.createOrReplaceTempFunction(
-      "top_cells", TopCells.fromExprs, "built-in")
-    reg.createOrReplaceTempFunction(
-      "md5_lower64", exprs => Md5Lower64(exprs.head), "built-in")
-    // Spark's own runtime-filter expressions (what InjectRuntimeFilter
-    // plants under AQE), exposed for EXPLICIT semi-join reduction (q32):
-    // a distributed bloom build over xxhash64'd keys, and the codegen'd
-    // membership probe against the resulting sketch literal.
-    reg.createOrReplaceTempFunction(
-      "bloom_agg",
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(exprs(0), exprs(1)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "bloom_might_contain",
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)),
-      "built-in")
+    builders.foreach { case (name, builder, _) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
 

@@ -939,9 +939,10 @@ object ExtendedQueries {
        |FROM joined ORDER BY user_id, hour""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.Functions.dec
+    import graft.functions.Functions.{dec, tsUs}
     val ev = table(spark, dir, "events")
-      .select(col("user_id"), expr(s"(ts - ts % 1000) div $hourNs").as("hour"),
+      .select(col("user_id"), tsUs(col("ts")).as("ts_ns"), col("value"))
+      .select(col("user_id"), expr(s"ts_ns div $hourNs").as("hour"),
         col("value"))
     val obs = ev.groupBy("user_id", "hour")
       .agg(sum(dec(col("value"))).cast("double").as("v"))

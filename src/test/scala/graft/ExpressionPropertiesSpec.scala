@@ -46,7 +46,10 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     val gen = for {
       xs <- Gen.listOf(Gen.long)
       cuts <- Gen.listOfN(2, Gen.choose(0.0, 1.0))
-      shuffled <- Gen.const(scala.util.Random.shuffle(xs))
+      // seed the permutation from the generator so failures replay
+      // from the reported ScalaCheck seed
+      shuffleSeed <- Gen.long
+      shuffled = new scala.util.Random(shuffleSeed).shuffle(xs)
     } yield (xs, cuts, shuffled)
     check(Prop.forAll(gen) { case (xs, cuts, shuffled) =>
       val direct = (0 until 16).map { i =>
