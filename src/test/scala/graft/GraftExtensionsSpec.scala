@@ -33,6 +33,21 @@ class GraftExtensionsSpec extends SparkSpec {
           |FROM VALUES (42L) AS t(h)""".stripMargin).collect()(0)
       assert(agg.getLong(0) === 42L) // single-feature simhash = the hash
       assert(agg.getInt(1) === 128)
+
+      // EVERY builder reaches SQL through the extensions path — the two
+      // registration routes share one list, and this query would throw
+      // Undefined function if any entry went missing again (the round-5
+      // additions had reached only the session path for a while)
+      val r5 = s2.sql(
+        """SELECT ngrams(array('a','b','c'), 2) AS ng,
+          |  md5_lower64('abc') AS h,
+          |  top_cells(array(1.0d, 0.0d), array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 1) AS tc,
+          |  pq_encode(array(1.0d, 0.0d), array(array(array(1.0d, 0.0d), array(0.0d, 1.0d)))) AS pq
+          |""".stripMargin).collect()
+      assert(r5.map(_.getString(0)).toSeq === Seq("a b", "b c"))
+      assert(r5.head.getLong(1) === 8250560606382298838L)
+      assert(r5.head.getSeq[Int](2) === Seq(0))
+      assert(r5.head.getSeq[Int](3) === Seq(0))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
