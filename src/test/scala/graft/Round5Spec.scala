@@ -154,6 +154,15 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("Q.oracle is lazy: dump-time state (trained constants) reaches the SQL") {
+    var trained: Option[String] = None
+    val q = graft.Q("lazy_probe", (_, _) => null,
+      () => trained.map(c => s"SELECT $c"))
+    assert(q.oracle.isEmpty) // before the run: no constants, rows-only
+    trained = Some("42")     // the query run trains and memoizes
+    assert(q.oracle === Some("SELECT 42")) // dump after the run sees them
+  }
+
   test("q39 funnel: stage timestamps are ordered and match the null pattern") {
     val rows = ExtendedQueries.q39.fn(spark, sf).collect()
     assert(rows.nonEmpty)
