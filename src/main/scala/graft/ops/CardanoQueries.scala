@@ -72,5 +72,41 @@ object CardanoQueries {
       .orderBy("slot")
   }
 
-  val all: Seq[Q] = Seq(c01, c02, c03)
+  // ---------------------------------------------------------------------
+  // c04 — UTxO-set reconstruction / address balances at the chain tip:
+  // the README community ask the reference documents but never built
+  // (/root/reference/README.md:124-147 "balance/history"), realized with
+  // the reference's own join pattern (inputs array resolved against
+  // produced outputs, /root/reference/token_fee_analysis.py:215-227):
+  // unspent = outputs ANTI JOIN exploded spend outpoints on the
+  // composite (tx_id, output_index) key, then balance per address. At
+  // 100 TB both sides shuffle once on the outpoint key (or zero times
+  // from bucketed storage); the fixture chain is deterministic so the
+  // oracle states the expected balances literally.
+  // ---------------------------------------------------------------------
+  val c04 = Q("c04_utxo_balances",
+    Seq(("addr1dat", 1L, 1L), ("addr1q", 999L, 1L),
+      ("addr1tok", 1500000L, 1L), ("addr1xyz", 2000000L, 1L))
+      .map { case (a, b, n) =>
+        s"SELECT '$a' AS address, CAST($b AS BIGINT) AS balance, " +
+          s"CAST($n AS BIGINT) AS n_utxos"
+      }
+      .mkString("", " UNION ALL ", " ORDER BY address")
+  ) { (spark, _) =>
+    import spark.implicits._
+    val parsed = Extract.parse(Fixture.blocks.toDF("json").coalesce(1))
+    val utxo = Extract.utxo(parsed)
+    val spent = Extract.tx(parsed)
+      .select(explode(col("inputs")).as("in"))
+      .select(col("in.tx_id").as("s_tx"), col("in.output_index").as("s_idx"))
+    utxo
+      .join(spent, utxo("tx_id") === col("s_tx") &&
+        utxo("output_index") === col("s_idx"), "left_anti")
+      .groupBy("address")
+      .agg(sum(col("lovelace")).as("balance"),
+        count(lit(1)).cast("long").as("n_utxos"))
+      .orderBy("address")
+  }
+
+  val all: Seq[Q] = Seq(c01, c02, c03, c04)
 }
