@@ -67,9 +67,27 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The harness keeps only a bounded (2000-char) TAIL of stdout, and at
+    // 80 queries the per-query line is >2 KB even with 3-decimal
+    // compaction — its head (including "metric":"total") gets truncated
+    // and the artifact fails to parse. So: (a) persist the FULL per-query
+    // line to a file, (b) print the big line first (human/log use), then
+    // (c) print a tiny total-only line LAST — always inside the captured
+    // tail, always parseable.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_queries.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] per-query dump failed: ${e.getMessage}")
+    }
     spark.stop()
-    // Print last, after Spark shutdown, so nothing else lands between
-    // this line and the end of the captured tail.
+    // Both lines print after Spark shutdown so no stray log lands between
+    // them and the end of the captured tail.
     println(line)
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfName"}""")
   }
 }

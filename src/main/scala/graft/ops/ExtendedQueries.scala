@@ -925,6 +925,35 @@ object ExtendedQueries {
   // ---------------------------------------------------------------------
   private val hourNs = 3600L * 1000000000L
 
+  /** Session memo of q41's (user, hour) aggregate. The query needs obs
+    * three ways — the grid's user list, the hour bounds, and the join
+    * probe side — and without materialization each consumer re-executes
+    * the full events scan+aggregate subtree (the suite's single most
+    * expensive rescan). Caching the POST-aggregate relation is the
+    * 100 TB-safe choice: it is bounded by users × active-hours, not by
+    * event count. Same contract as [[TextQueries.sharedToks]]: parquet
+    * immutable for the session; [[invalidateCaches]] releases blocks.
+    */
+  private val obsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedObs(spark: SparkSession, dir: String): DataFrame =
+    obsMemo.getOrElseUpdate((spark, dir), {
+      import graft.functions.Functions.{dec, tsUs}
+      table(spark, dir, "events")
+        .select(col("user_id"), tsUs(col("ts")).as("ts_ns"), col("value"))
+        .select(col("user_id"), expr(s"ts_ns div $hourNs").as("hour"),
+          col("value"))
+        .groupBy("user_id", "hour")
+        .agg(sum(dec(col("value"))).cast("double").as("v"))
+        .cache()
+    })
+
+  def invalidateCaches(): Unit = {
+    obsMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    obsMemo.clear()
+  }
+
   val q41 = Q("q41_gapfill",
     s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // $hourNs AS hour, value FROM events),
        |obs AS (SELECT user_id, hour,
@@ -944,15 +973,12 @@ object ExtendedQueries {
        |FROM joined ORDER BY user_id, hour""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.Functions.{dec, tsUs}
-    val ev = table(spark, dir, "events")
-      .select(col("user_id"), tsUs(col("ts")).as("ts_ns"), col("value"))
-      .select(col("user_id"), expr(s"ts_ns div $hourNs").as("hour"),
-        col("value"))
-    val obs = ev.groupBy("user_id", "hour")
-      .agg(sum(dec(col("value"))).cast("double").as("v"))
-    val bounds = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
-    val grid = ev.select("user_id").distinct()
+    // One events scan: bounds and the grid's user list both derive from
+    // the cached post-aggregate obs — GROUP BY preserves the (user_id,
+    // hour) value sets, so MIN/MAX/DISTINCT over obs ≡ over raw events.
+    val obs = sharedObs(spark, dir)
+    val bounds = obs.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val grid = obs.select("user_id").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
     val fill = Window.partitionBy("user_id").orderBy("hour")
