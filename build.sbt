@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness captures a bounded stdout TAIL and parses the
+// last line as JSON. Under the default LoggedOutput strategy sbt wraps
+// forked output as "[info] {...}" and appends a "[success] Total time"
+// footer — both of which break that parse (BENCH_r05/r06 "parsed": null).
+// StdoutOutput passes the forked JVM's stdout through verbatim and
+// showSuccess drops the footer, so the bench JSON line is genuinely the
+// last stdout content.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

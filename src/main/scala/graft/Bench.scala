@@ -54,40 +54,73 @@ object Bench {
       }
     }
     val results = best.toMap
-    // Compact number formatting: the harness that captures this line
-    // keeps only a bounded tail of stdout, and full-precision doubles
-    // for 60+ queries overflow it (the r4 line was >2 KB and failed to
-    // parse). 3 decimals (1 ms) is below host noise anyway.
-    def fmt(v: Double): String = {
-      val s = f"$v%.3f"
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The harness keeps only a bounded (2000-char) TAIL of stdout, and at
-    // 80 queries the per-query line is >2 KB even with 3-decimal
-    // compaction — its head (including "metric":"total") gets truncated
-    // and the artifact fails to parse. So: (a) persist the FULL per-query
-    // line to a file, (b) print the big line first (human/log use), then
-    // (c) print a tiny total-only line LAST — always inside the captured
-    // tail, always parseable.
+    // Session teardown: release the module memos (cached DataFrames,
+    // trained constants) before stopping — the documented lifecycle for
+    // the invalidateCaches() hooks.
+    SparkEntry.invalidateCaches()
+    spark.stop()
+    printArtifacts(results, sfDir)
+  }
+
+  /** Emit the bench artifact. The harness keeps only a bounded
+    * (2000-char) TAIL of combined output and parses the LAST stdout line
+    * as JSON, so:
+    *   - stdout gets exactly ONE line, printed after `spark.stop()` so no
+    *     stray log follows it (build.sbt's StdoutOutput + showSuccess
+    *     keep sbt from prefixing or appending to it);
+    *   - the line carries the full per-query map at the highest decimal
+    *     precision that keeps it inside the tail (80 query names alone
+    *     are ~1700 chars; 3 decimals overflows, 1 decimal fits). If even
+    *     1 decimal overflows, fall back to a total-only line — a
+    *     parseable total beats an unparseable map;
+    *   - the FULL 3-decimal line goes to stderr (human/log use) and to
+    *     SPARK_GRAFT_BENCH_OUT (default target/bench_queries.json) for
+    *     anything that wants millisecond precision.
+    */
+  private[graft] def printArtifacts(results: Map[String, Double], sfDir: String): Unit = {
+    // 1950 = the 2000-char tail minus newline slack: the line survives
+    // whole as long as len+1 ≤ 2000, and the real 80-query suite needs
+    // ~1936 chars at 1 decimal (BenchArtifactSpec pins the fit).
+    val line = renderLine(results, sfDir, maxLen = 1950)
+    val full = renderLine(results, sfDir, maxLen = Int.MaxValue)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "target/bench_queries.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, line + "\n")
+      java.nio.file.Files.writeString(p, full + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] per-query dump failed: ${e.getMessage}")
     }
-    spark.stop()
-    // Both lines print after Spark shutdown so no stray log lands between
-    // them and the end of the captured tail.
+    System.err.println(full)
+    System.err.flush()
     println(line)
+    System.out.flush()
+  }
+
+  /** One JSON line: full per-query map at 3 decimals if it fits maxLen,
+    * else 2, else 1, else a total-only line (a parseable total beats an
+    * unparseable map). `sf` is always the basename (one consistent
+    * encoding — the full path belongs to logs, not the artifact).
+    */
+  private[graft] def renderLine(results: Map[String, Double], sfDir: String,
+      maxLen: Int): String = {
+    def fmt(v: Double, p: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty || t == "-") "0" else t
+      } else s
+    }
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfName"}""")
+    def withQueries(p: Int): String = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, p) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    (3 to 1 by -1).map(withQueries).find(_.length <= maxLen).getOrElse(
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"sf":"$sfName"}""")
   }
 }

@@ -33,4 +33,18 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Release every module's session-lifetime memo (cached DataFrames and
+    * trained-constant entries). The source data is treated as immutable
+    * for a session, so Verify/Bench call this once at teardown; a
+    * long-lived embedding calls it whenever the underlying dir changes.
+    * NOTE: must run AFTER [[oracleSql]] is dumped — the trained-constant
+    * oracles (s03/s04/p05) inline memo contents at dump time.
+    */
+  def invalidateCaches(): Unit = {
+    ops.DedupQueries.invalidateCaches()
+    ops.VectorQueries.invalidateCaches()
+    ops.TextQueries.invalidateCaches()
+    ops.ExtendedQueries.invalidateCaches()
+  }
 }

@@ -43,6 +43,29 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    writeDegradedMarker(outDir)
+    // After the dump (the oracles above read the memos), release all
+    // session-lifetime caches — this is the documented teardown path for
+    // the four module-level invalidateCaches() hooks.
+    SparkEntry.invalidateCaches()
     spark.stop()
+  }
+
+  /** Trained-constant oracles (s03/s04/p05) inline session-memoized
+    * constants at dump time; when the memo is empty or ambiguous they
+    * silently fall back to the rows-only check — make that loud (stderr
+    * warning + `oracle_degraded.json` sidecar) so oracle coverage can't
+    * shrink without a trace in the run output. Returns the degraded
+    * names (empty in the normal single-dir Verify run).
+    */
+  private[graft] def writeDegradedMarker(outDir: String): Seq[String] = {
+    val degraded = graft.ops.VectorQueries.degradedOracles
+    if (degraded.nonEmpty) {
+      System.err.println("[verify] WARNING: oracles degraded to rows-only " +
+        s"(trained-constant memo empty/ambiguous at dump time): ${degraded.mkString(", ")}")
+      Files.writeString(Paths.get(s"$outDir/oracle_degraded.json"),
+        degraded.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    }
+    degraded
   }
 }

@@ -295,12 +295,32 @@ object TopCells {
     }
     require(exprs(1).foldable && shapeOk,
       s"top_cells centroids must be a foldable array<array<double>>, got ${exprs(1).dataType.sql}")
-    val outer = exprs(1).eval(null)
-      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val cs = (0 until outer.numElements())
-      .map(i => outer.getArray(i).toDoubleArray()).toArray
+    // Validate before touching — top_cells is exposed cluster-wide via the
+    // extension SQL surface, so NULL literals / null-holding arrays are
+    // user input, not internal invariants (same posture as
+    // NGramExplode.fromExprs).
+    val outerRaw = exprs(1).eval(null)
+    require(outerRaw != null, "top_cells centroids must not be NULL")
+    val outer = outerRaw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(outer.numElements() > 0, "top_cells needs at least one centroid")
+    val cs = (0 until outer.numElements()).map { i =>
+      require(!outer.isNullAt(i), s"top_cells centroid $i must not be NULL")
+      val inner = outer.getArray(i)
+      var j = 0
+      while (j < inner.numElements()) {
+        require(!inner.isNullAt(j),
+          s"top_cells centroid $i holds a NULL component at $j")
+        j += 1
+      }
+      inner.toDoubleArray()
+    }.toArray
+    require(cs.forall(_.length == cs(0).length),
+      "top_cells centroids must all share one dimension")
     require(exprs(2).foldable, "top_cells k must be a literal")
-    val k = exprs(2).eval().asInstanceOf[Number].intValue()
+    val kv = exprs(2).eval()
+    require(kv != null && kv.isInstanceOf[Number],
+      s"top_cells k must be a non-NULL integer literal, got $kv")
+    val k = kv.asInstanceOf[Number].intValue()
     require(k > 0 && k <= cs.length, s"top_cells k must be in [1, ${cs.length}]")
     TopCells(exprs.head, cs, k)
   }
@@ -336,14 +356,31 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_cells requires array<double>, got ${other.simpleString(10)}")
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // Clamp to the input's actual length and skip null elements (treated
+    // as 0-components), mirroring ArrayDot — an unclamped getDouble(d)
+    // past numElements() reads out-of-bounds Unsafe memory and yields
+    // silent garbage cell assignments.
+    val lim = math.min(dim, v.numElements())
     val dots = new Array[Double](numCells)
     var c = 0
     while (c < numCells) {
       var s = 0.0
       var d = 0
-      while (d < dim) { s += v.getDouble(d) * flat(c * dim + d); d += 1 }
+      while (d < lim) {
+        if (!v.isNullAt(d)) s += v.getDouble(d) * flat(c * dim + d)
+        d += 1
+      }
       dots(c) = s
       c += 1
     }
@@ -388,12 +425,14 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
       val best = ctx.freshName("best")
       val bestI = ctx.freshName("bestI")
       val cmpRes = ctx.freshName("cmpRes")
+      val lim = ctx.freshName("lim")
       s"""
+         |int $lim = java.lang.Math.min($dim, $v.numElements());
          |double[] $dots = new double[$numCells];
          |for (int $c = 0; $c < $numCells; $c++) {
          |  double $s = 0.0;
-         |  for (int $d = 0; $d < $dim; $d++) {
-         |    $s += $v.getDouble($d) * $flatRef[$c * $dim + $d];
+         |  for (int $d = 0; $d < $lim; $d++) {
+         |    if (!$v.isNullAt($d)) $s += $v.getDouble($d) * $flatRef[$c * $dim + $d];
          |  }
          |  $dots[$c] = $s;
          |}

@@ -270,6 +270,19 @@ object VectorQueries {
   private def soleCentroids: Option[Array[Array[Double]]] =
     if (centroidsMemo.size == 1) Some(centroidsMemo.values.head) else None
 
+  /** Query names whose oracle thunk would degrade to the rows-only check
+    * at dump time because the trained-constant memo isn't a single
+    * unambiguous (session, dir) entry. Verify surfaces this (stderr
+    * warning + `oracle_degraded.json` sidecar) so oracle coverage can't
+    * shrink silently when a second dir trains in the same session.
+    */
+  def degradedOracles: Seq[String] = {
+    val c = if (soleCentroids.isEmpty)
+      Seq("s03_ann_ivf_probed", "p05_semantic_dedup") else Nil
+    val p = if (solePq.isEmpty) Seq("s04_ann_pq_adc") else Nil
+    c ++ p
+  }
+
   /** DuckDB fragment ranking all cells for the row's `v`: struct list
     * sorted ascending then reversed, so `[1]` is the best (max dot,
     * ties to the LARGER id — TopCells' exact order) and `[2]` the

@@ -1,0 +1,58 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver captures a bounded 2000-char stdout TAIL and parses the
+  * last line as JSON — three rounds of `"parsed": null` came from lines
+  * that overflowed the tail or got sbt-wrapped. Pins the renderLine
+  * contract: always valid JSON; the REAL suite's full per-query map fits
+  * the 1950-char budget (adaptive precision); total-only fallback only
+  * when nothing fits.
+  */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  test("the real 80-query suite renders as one parseable line within the tail budget") {
+    // the actual registry names — the binding constraint is their length
+    val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
+    assert(results.size >= 80)
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1", maxLen = 1950)
+    assert(line.length <= 1950, s"line is ${line.length} chars")
+    assert(!line.contains('\n'))
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() === "total")
+    assert(node.get("unit").asText() === "sec")
+    assert(node.get("sf").asText() === "sf0.1") // basename, not the path
+    assert(node.get("queries").size() === results.size)
+    // value ≈ sum of the per-query values at the emitted precision
+    assert(math.abs(node.get("value").asDouble() - results.size * 1.234567) < 0.5)
+  }
+
+  test("precision degrades before the map is dropped; map drops before validity") {
+    val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
+    // unconstrained → full 3-decimal precision
+    val wide = Bench.renderLine(results, "sf0.1", maxLen = Int.MaxValue)
+    assert(wide.contains("\":1.235")) // 3-decimal rounding
+    // one char below the 3-decimal length → still the full map, coarser
+    val mid = Bench.renderLine(results, "sf0.1", maxLen = wide.length - 1)
+    assert(mid.length < wide.length)
+    assert(mapper.readTree(mid).get("queries").size() === results.size)
+    // impossible budget → total-only fallback, still valid JSON
+    val tiny = Bench.renderLine(results, "sf0.1", maxLen = 200)
+    val node = mapper.readTree(tiny)
+    assert(node.get("queries") === null)
+    assert(node.get("n").asInt() === results.size)
+    assert(tiny.length <= 200)
+  }
+
+  test("empty and zero-valued results stay parseable") {
+    val none = Bench.renderLine(Map.empty, "sf0.1", maxLen = 1950)
+    assert(mapper.readTree(none).get("value").asDouble() === 0.0)
+    val zeros = Bench.renderLine(Map("a" -> 0.0, "b" -> 0.0004), "sf0.1", maxLen = 1950)
+    val node = mapper.readTree(zeros)
+    assert(node.get("queries").get("a").asDouble() === 0.0)
+    assert(node.get("queries").get("b").asDouble() === 0.0)
+  }
+}
