@@ -21,9 +21,19 @@ object CardanoQueries {
     // one JSON parse shared by the ten per-table projections; the
     // fixture is 2 rows, so a single partition avoids 10 fan-out jobs
     val parsed = Extract.parse(Fixture.blocks.toDF("json").coalesce(1)).cache()
-    Extract.allTables(parsed)
-      .map { case (t, df) => df.groupBy(lit(t).as("tbl")).agg(count(lit(1)).as("n")) }
+    // Union the LABELED ROWS first, then count in ONE aggregate — not
+    // one grouped aggregate per table then union: that shape plans an
+    // exchange per table (10 tiny stages of pure scheduling), while
+    // this one plans a single exchange for the whole census. The left
+    // join from the literal table list keeps empty tables at n=0 (a
+    // grouped count over the union alone would drop them).
+    val labeled = Extract.allTables(parsed)
+      .map { case (t, df) => df.select(lit(t).as("tbl")) }
       .reduce(_ unionByName _)
+      .groupBy("tbl").agg(count(lit(1)).as("n"))
+    Extract.tableNames.toDF("tbl")
+      .join(labeled, Seq("tbl"), "left")
+      .select(col("tbl"), coalesce(col("n"), lit(0L)).as("n"))
       .orderBy("tbl")
   }
 

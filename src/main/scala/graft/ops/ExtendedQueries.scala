@@ -52,10 +52,24 @@ object ExtendedQueries {
        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY rflag, lstatus""".stripMargin
   ) { (spark, dir) =>
+    // Pre-aggregate to the grouping keys BEFORE the rollup: the naive
+    // `.rollup` over the fact table plans Expand (3 output rows per
+    // input row) into the aggregate — 3× the rows hashed. Aggregating
+    // to the ~distinct-key-combination relation first (ordinary
+    // map-side-partial groupBy), then rolling up the tiny pre-aggregate
+    // (COUNT→SUM cnt, SUM→SUM of exact-decimal partials), is
+    // bit-identical and at 100 TB turns the Expand from a fact-table
+    // multiplier into a no-op over a few dozen rows. (Empty-input note:
+    // the grand-total row's count is coalesced to 0 — a rollup over an
+    // empty pre-aggregate yields NULL sums where the direct form counts
+    // 0.)
     table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt0"),
+        sum(col("l_quantity").cast("decimal(38,6)")).as("sum0"))
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("sum_qty"))
+      .agg(coalesce(sum("cnt0"), lit(0L)).as("cnt"),
+        sum("sum0").cast("double").as("sum_qty"))
       .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
         coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
         col("cnt"), col("sum_qty"))
@@ -354,11 +368,15 @@ object ExtendedQueries {
   // subquery is an uncorrelated IN): orders strictly above their own
   // customer's average order value, phrased as two correlated scalar
   // subqueries (COUNT and SUM against the outer row's customer) and
-  // entered through `spark.sql` — the SQL front door every other query
-  // skips. Catalyst DECORRELATES: the per-row subqueries rewrite to one
-  // grouped aggregate joined back on the key — one shuffle — instead of
-  // the naive per-outer-row re-scan; at 100 TB that rewrite is the
-  // difference between O(N) and O(N²/customers). The avg comparison is
+  // entered through `spark.sql` in the correlated form Catalyst
+  // DECORRELATES into aggregate+join instead of the naive per-outer-row
+  // re-scan — at 100 TB the difference between O(N) and
+  // O(N²/customers). Catalyst decorrelates each scalar subquery
+  // SEPARATELY though (two aggregates + two joins over the same key),
+  // so the shipped body fuses them by hand: ONE per-customer
+  // (count, sum) aggregate joined back once — half the shuffles for
+  // the identical relation. ExtendedSpec pins the correlated
+  // `spark.sql` form against this body. The avg comparison is
   // cross-multiplied (price · count > sum) so everything stays in exact
   // DECIMAL — no division, bit-exact across engines.
   // ---------------------------------------------------------------------
@@ -371,6 +389,22 @@ object ExtendedQueries {
       |       FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
   ) { (spark, dir) =>
+    import graft.functions.Functions.dec
+    val o = table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val per = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("cust_cnt"), sum(dec(col("o_totalprice"))).as("cust_sum"))
+    o.join(per, Seq("o_custkey"))
+      .filter(dec(col("o_totalprice")) * col("cust_cnt") > col("cust_sum"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** The correlated `spark.sql` form of q25 — the SQL front door whose
+    * decorrelation ExtendedSpec pins against the fused body above.
+    */
+  private[graft] def q25Correlated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     table(spark, dir, "orders").createOrReplaceTempView("q25_orders")
     spark.sql(
       """SELECT o_orderkey, o_custkey, o_totalprice
@@ -783,10 +817,15 @@ object ExtendedQueries {
       |ORDER BY status, priority""".stripMargin
   ) { (spark, dir) =>
     import graft.functions.Functions.dec
+    // Same pre-aggregate-then-expand shape as q18: cube's Expand emits
+    // 4 rows per input, so feed it the ~15-row (status × priority)
+    // pre-aggregate instead of the fact table.
     table(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt0"), sum(dec(col("o_totalprice"))).as("sum0"))
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .agg(coalesce(sum("cnt0"), lit(0L)).as("cnt"),
+        sum("sum0").cast("double").as("sum_price"))
       .select(coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
         coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
         col("cnt"), col("sum_price"))
@@ -819,8 +858,24 @@ object ExtendedQueries {
        |ORDER BY nationkey, segment""".stripMargin
 
   val q38 = Q("q38_grouping_sets", q38Sql("customer")) { (spark, dir) =>
-    table(spark, dir, "customer").createOrReplaceTempView("q38_customer")
-    spark.sql(q38Sql("q38_customer"))
+    import graft.functions.Functions.dec
+    // Pre-aggregate to (nationkey, segment) before the grouping-sets
+    // Expand — same shape as q18/q37: COUNT(*) per set-group equals
+    // SUM of the pre-aggregate's counts, SUM of exact-decimal partials
+    // is bit-identical, and Expand runs over ~125 rows instead of the
+    // customer table.
+    table(spark, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt0"), sum(dec(col("c_acctbal"))).as("sum0"))
+      .createOrReplaceTempView("q38_customer_pre")
+    spark.sql(
+      """SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nationkey,
+        |  COALESCE(c_mktsegment, '<all>') AS segment,
+        |  SUM(cnt0) AS cnt,
+        |  CAST(SUM(sum0) AS DOUBLE) AS sum_bal
+        |FROM q38_customer_pre
+        |GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+        |ORDER BY nationkey, segment""".stripMargin)
   }
 
   // ---------------------------------------------------------------------

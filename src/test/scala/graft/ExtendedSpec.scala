@@ -122,4 +122,12 @@ class ExtendedSpec extends SparkSpec {
     val q19ops = ExtendedQueries.q19.fn(spark, sf).collect().map(_.getString(0)).toSet
     assert(q19ops.contains("never_ordered"))
   }
+
+  test("q25: the correlated spark.sql form decorrelates to the fused body's relation") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val fused = canon(ExtendedQueries.q25.fn(spark, sf))
+    assert(fused.nonEmpty)
+    assert(canon(ExtendedQueries.q25Correlated(spark, sf)) === fused)
+  }
 }
