@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -538,6 +538,191 @@ case class NGramExplode(child: Expression, n: Int)
   override def prettyName: String = "ngrams"
 }
 
+object NGramCountExplode {
+  /** SQL/call_function builder: `ngram_counts(tokens, n)` (same
+    * validation contract as NGramExplode.fromExprs).
+    */
+  def fromExprs(exprs: Seq[Expression]): NGramCountExplode = {
+    require(exprs.length == 2, "ngram_counts(tokens, n) takes 2 arguments")
+    val nExpr = exprs(1)
+    require(nExpr.foldable, "ngram_counts n must be a literal")
+    val nv = nExpr.eval()
+    require(nv != null, "ngram_counts n must not be NULL")
+    val n = nv.asInstanceOf[Number].intValue()
+    require(n >= 1, s"ngram_counts n must be >= 1, got $n")
+    NGramCountExplode(exprs(0), n)
+  }
+}
+
+/** Generator emitting each DISTINCT n-gram of a token array once, with
+  * its within-row multiplicity: `(ngram string, cnt long)` rows, in
+  * first-occurrence order. N-gram strings match [[NGramExplode]]
+  * exactly (space-joined, NULL tokens as empty strings).
+  *
+  * The corpus-statistics primitive behind collocation/document-frequency
+  * scans (t10): `ngrams(...)` explodes every INSTANCE, so a downstream
+  * `COUNT(DISTINCT doc_id)` needs Spark's two-phase distinct aggregate
+  * over instance-count rows; this pre-collapses each row's duplicates
+  * map-side — the (ngram, doc) distinctness the two-phase plan shuffles
+  * to establish is already true row-locally — so per-ngram totals and
+  * document frequencies become ONE ordinary partial-aggregated groupBy
+  * (`SUM(cnt)`, `COUNT(*)`).
+  */
+case class NGramCountExplode(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_counts requires array<string>, got ${other.simpleString(10)}")
+    }
+
+  override def elementSchema: StructType = new StructType()
+    .add("ngram", StringType, nullable = false)
+    .add("cnt", LongType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val len = arr.numElements()
+      if (len < n) Iterator.empty
+      else {
+        val toks = new Array[UTF8String](len)
+        var i = 0
+        while (i < len) {
+          toks(i) =
+            if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+          i += 1
+        }
+        val sep = UTF8String.fromString(" ")
+        val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+        var s = 0
+        while (s <= len - n) {
+          val parts = new Array[UTF8String](n)
+          System.arraycopy(toks, s, parts, 0, n)
+          val g = UTF8String.concatWs(sep, parts: _*)
+          val prev = counts.get(g)
+          counts.put(g, if (prev == null) 1L else prev.longValue() + 1L)
+          s += 1
+        }
+        val it = counts.entrySet().iterator()
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): InternalRow = {
+            val e = it.next()
+            InternalRow(e.getKey, e.getValue.longValue())
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramCountExplode =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_counts"
+}
+
+object NGramStats {
+  /** SQL/call_function builder: `ngram_stats(tokens, n)` with a foldable
+    * non-null integer n ≥ 1 (same validation contract as
+    * NGramExplode.fromExprs).
+    */
+  def fromExprs(exprs: Seq[Expression]): NGramStats = {
+    require(exprs.length == 2, "ngram_stats(tokens, n) takes 2 arguments")
+    val nExpr = exprs(1)
+    require(nExpr.foldable, "ngram_stats n must be a literal")
+    val nv = nExpr.eval()
+    require(nv != null, "ngram_stats n must not be NULL")
+    val n = nv.asInstanceOf[Number].intValue()
+    require(n >= 1, s"ngram_stats n must be >= 1, got $n")
+    NGramStats(exprs(0), n)
+  }
+
+  /** One pass over the token array: total n-gram count, distinct n-gram
+    * count, and the highest single n-gram multiplicity. N-gram strings
+    * are built exactly as [[NGramExplode]] builds them (space-joined,
+    * NULL tokens as empty strings), so the stats equal the
+    * explode→GROUP BY composition's aggregate row for every input.
+    */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): InternalRow = {
+    val len = arr.numElements()
+    val total = len - n + 1
+    if (total <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[UTF8String, Int](total * 2)
+    var top = 0
+    var s = 0
+    while (s < total) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(toks, s, parts, 0, n)
+      val g = UTF8String.concatWs(sep, parts: _*)
+      val c = counts.getOrDefault(g, 0) + 1
+      counts.put(g, c)
+      if (c > top) top = c
+      s += 1
+    }
+    new GenericInternalRow(
+      Array[Any](total.toLong, counts.size().toLong, top.toLong))
+  }
+}
+
+/** Per-row n-gram repetition statistics over a token array:
+  * `struct(n_ngrams, n_distinct, top_cnt)` — total n-grams (with
+  * duplicates), distinct n-grams, and the top n-gram's multiplicity.
+  *
+  * The repetition-scoring primitive (t08): the explode→GROUP BY
+  * (doc, ngram)→GROUP BY doc composition shuffles every n-gram of every
+  * document (tokens× the corpus size, strings no less) to compute what
+  * is a PER-DOCUMENT property; this computes the same three aggregates
+  * map-side in one pass per row, so the only shuffle-sized data left in
+  * a repetition scan is the output itself. Stats are order-insensitive
+  * (map size / max multiplicity), so the result is deterministic under
+  * any partitioning. Codegen emits a single static call — the loop
+  * stays out of the generated method body but the projection stays
+  * inside whole-stage codegen (no CodegenFallback).
+  */
+case class NGramStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = new StructType()
+    .add("n_ngrams", LongType, nullable = false)
+    .add("n_distinct", LongType, nullable = false)
+    .add("top_cnt", LongType, nullable = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_stats requires array<string>, got ${other.simpleString(10)}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NGramStats.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NGramStats$$.MODULE$$.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramStats =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_stats"
+}
+
 /** Session registration for the custom expressions, so queries can use
   * them via `call_function` / SQL by name. Idempotent.
   */
@@ -574,6 +759,8 @@ object CustomFunctions {
     ("topk_agg", TopKAgg.fromExprs _, classOf[TopKAgg]),
     ("pq_encode", PqEncode.fromExprs _, classOf[PqEncode]),
     ("ngrams", NGramExplode.fromExprs _, classOf[NGramExplode]),
+    ("ngram_stats", NGramStats.fromExprs _, classOf[NGramStats]),
+    ("ngram_counts", NGramCountExplode.fromExprs _, classOf[NGramCountExplode]),
     ("top_cells", TopCells.fromExprs _, classOf[TopCells]),
     ("md5_lower64", Md5Lower64.fromExprs _, classOf[Md5Lower64]),
     ("bloom_agg",

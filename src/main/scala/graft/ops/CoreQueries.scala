@@ -210,11 +210,18 @@ object CoreQueries {
        |  ON g.l_partkey = l.l_partkey AND g.l_suppkey = l.l_suppkey
        |GROUP BY l.l_orderkey ORDER BY l.l_orderkey""".stripMargin
   ) { (spark, dir) =>
-    val li = table(spark, dir, "lineitem")
-    val grp = li.groupBy("l_partkey", "l_suppkey")
-      .agg(sum(dec(col("l_quantity"))).as("tot"))
-    li.select("l_orderkey", "l_partkey", "l_suppkey")
-      .join(grp, Seq("l_partkey", "l_suppkey"))
+    // The join-back against the table's own (partkey, suppkey) aggregate
+    // is a whole-partition window sum in disguise: every lineitem row
+    // joins exactly one group row, so `SUM(qty) OVER (PARTITION BY pk,
+    // sk)` attaches the same `tot` with ONE scan and ONE shuffle of the
+    // fact table — where the join form scans lineitem twice and pays the
+    // aggregate's exchange on top of the join's. Bit-identical (the
+    // window partial-sums the same exact decimals).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_partkey", "l_suppkey")
+    table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      .withColumn("tot", sum(dec(col("l_quantity"))).over(w))
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_items"), sum(col("tot")).cast("double").as("sum_group_qty"))
       .orderBy("l_orderkey")

@@ -1031,19 +1031,42 @@ object ExtendedQueries {
     // One events scan: bounds and the grid's user list both derive from
     // the cached post-aggregate obs — GROUP BY preserves the (user_id,
     // hour) value sets, so MIN/MAX/DISTINCT over obs ≡ over raw events.
+    //
+    // The dense grid is NEVER materialized as a join input: each
+    // observation row knows its successor's hour (lead), so it owns the
+    // half-open run [hour, nxt) of grid hours and emits them directly —
+    // carrying the forward-filled value computed over the SMALL obs
+    // relation — via one per-row sequence+transform+explode. The first
+    // row per user extends its run left to the global h0 (the leading
+    // NULL gap). Compared to the grid LEFT JOIN + last_value window
+    // over users × span rows, this runs the windows over obs only and
+    // replaces the grid join and grid-sized sort with a map-side
+    // explode; only the final presentation ORDER BY touches grid-sized
+    // data. Same relation: runs partition [h0, h1] per user exactly.
     val obs = sharedObs(spark, dir)
     val bounds = obs.agg(min("hour").as("h0"), max("hour").as("h1"))
-    val grid = obs.select("user_id").distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
-    val fill = Window.partitionBy("user_id").orderBy("hour")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq("user_id", "hour"), "left")
-      .select(col("user_id"), col("hour"), col("v"),
-        when(col("v").isNull, 1L).otherwise(0L).as("filled"))
-      .select(col("user_id"), col("hour"),
-        last(col("v"), ignoreNulls = true).over(fill).as("sum_value"),
-        col("filled"))
+    val byUser = Window.partitionBy("user_id").orderBy("hour")
+    obs.crossJoin(broadcast(bounds))
+      .withColumn("nxt", lead(col("hour"), 1).over(byUser))
+      .withColumn("isFirst", lag(col("hour"), 1).over(byUser).isNull)
+      // last_value(v IGNORE NULLS): a NULL-v observation carries the
+      // previous non-null value through its own run.
+      .withColumn("carry", last(col("v"), ignoreNulls = true).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // Explode the BARE hour sequence and derive the per-cell fields
+      // after the explode with ordinary (codegen'd) expressions — a
+      // transform() lambda building structs here would run interpreted
+      // per grid cell (higher-order functions are CodegenFallback).
+      .select(col("user_id"), col("hour"), col("v"), col("carry"),
+        explode(sequence(
+          when(col("isFirst"), col("h0")).otherwise(col("hour")),
+          coalesce(col("nxt") - 1, col("h1")))).as("grid_hour"))
+      .select(col("user_id"), col("grid_hour").as("out_hour"),
+        when(col("grid_hour") < col("hour"), lit(null).cast("double"))
+          .otherwise(col("carry")).as("sum_value"),
+        when(col("grid_hour") =!= col("hour") || col("v").isNull, 1L)
+          .otherwise(0L).as("filled"))
+      .withColumnRenamed("out_hour", "hour")
       .orderBy("user_id", "hour")
   }
 

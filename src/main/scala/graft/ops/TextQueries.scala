@@ -667,22 +667,21 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
-    val docs = table(spark, dir, "documents")
-    // native NGramExplode generator (same bigram strings as the
-    // transform(sequence)+explode composition — Round5Spec pins the
-    // equivalence — without materializing each doc's bigram array or
-    // running the lambda interpretively per window)
-    val bi = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), call_function("ngrams", col("w"), lit(2)))
-      .withColumnRenamed("ngram", "bg")
-    val m = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max(col("c")).as("top_cnt"))
+    // Repetition is a PER-DOCUMENT property, so it never needs to leave
+    // the map side: the native ngram_stats expression computes (total,
+    // distinct, top multiplicity) in one pass over each doc's token
+    // array — same bigram strings as the ngrams generator, so the
+    // three aggregates equal the explode → GROUP BY (doc, bg) → GROUP
+    // BY doc composition (ExpressionPropertiesSpec pins it) — and the
+    // only shuffle left in the query is the presentation ORDER BY. The
+    // composed form shuffles every bigram string in the corpus to
+    // compute these same three numbers.
     val frac = col("top_cnt").cast("double") / col("n_bigrams")
-    docs.select("doc_id").join(m, Seq("doc_id"), "left")
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        call_function("ngram_stats", split(col("text"), " "), lit(2)).as("st"))
+      .select(col("doc_id"), col("st.n_ngrams").as("n_bigrams"),
+        col("st.n_distinct").as("n_distinct_bigrams"), col("st.top_cnt").as("top_cnt"))
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
@@ -762,11 +761,18 @@ object TextQueries {
       |FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
+    // ngram_counts emits each doc's DISTINCT bigrams with their counts,
+    // so per-bigram totals and document frequencies are ONE ordinary
+    // partial-aggregated groupBy (cnt = SUM of within-doc counts, df =
+    // COUNT of rows — one row per (doc, bigram) by construction). The
+    // instance-explode + COUNT(DISTINCT doc_id) form needs Spark's
+    // two-phase distinct aggregate over every bigram instance to
+    // establish a distinctness that is already true row-locally.
     table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), call_function("ngrams", col("w"), lit(2)))
+      .select(col("doc_id"), call_function("ngram_counts", col("w"), lit(2)))
       .groupBy(col("ngram").as("bigram"))
-      .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
+      .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("df"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
   }

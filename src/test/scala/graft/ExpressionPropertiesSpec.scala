@@ -167,4 +167,41 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
       rows == want
     })
   }
+
+  test("NGramStats: equals the explode→group-count model for arbitrary token arrays") {
+    val tok = Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const('a'))).map(_.mkString)
+    val gen = for {
+      toks <- Gen.listOf(tok)
+      n <- Gen.choose(1, 4)
+    } yield (toks, n)
+    check(Prop.forAll(gen) { case (toks, n) =>
+      val arr = ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray)
+      val row = graft.functions.NGramStats(Literal(arr, ArrayType(StringType)), n)
+        .eval(InternalRow.empty).asInstanceOf[InternalRow]
+      val grams = if (toks.length < n) Nil
+      else toks.sliding(n).map(_.mkString(" ")).toList
+      val byGram = grams.groupBy(identity).view.mapValues(_.size)
+      val want = (grams.size.toLong, byGram.size.toLong,
+        if (grams.isEmpty) 0L else byGram.values.max.toLong)
+      (row.getLong(0), row.getLong(1), row.getLong(2)) == want
+    })
+  }
+
+  test("NGramCountExplode: distinct n-grams in first-occurrence order with exact multiplicities") {
+    val tok = Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const('a'))).map(_.mkString)
+    val gen = for {
+      toks <- Gen.listOf(tok)
+      n <- Gen.choose(1, 4)
+    } yield (toks, n)
+    check(Prop.forAll(gen) { case (toks, n) =>
+      val arr = ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray)
+      val rows = graft.functions.NGramCountExplode(Literal(arr, ArrayType(StringType)), n)
+        .eval(InternalRow.empty).iterator.toList
+        .map(r => (r.getUTF8String(0).toString, r.getLong(1)))
+      val grams = if (toks.length < n) Nil
+      else toks.sliding(n).map(_.mkString(" ")).toList
+      val want = grams.distinct.map(g => (g, grams.count(_ == g).toLong))
+      rows == want
+    })
+  }
 }

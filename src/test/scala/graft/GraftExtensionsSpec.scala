@@ -42,12 +42,22 @@ class GraftExtensionsSpec extends SparkSpec {
         """SELECT ngrams(array('a','b','c'), 2) AS ng,
           |  md5_lower64('abc') AS h,
           |  top_cells(array(1.0d, 0.0d), array(array(1.0d, 0.0d), array(0.0d, 1.0d)), 1) AS tc,
-          |  pq_encode(array(1.0d, 0.0d), array(array(array(1.0d, 0.0d), array(0.0d, 1.0d)))) AS pq
+          |  pq_encode(array(1.0d, 0.0d), array(array(array(1.0d, 0.0d), array(0.0d, 1.0d)))) AS pq,
+          |  ngram_stats(array('a','b','a','b','a'), 2) AS st
           |""".stripMargin).collect()
       assert(r5.map(_.getString(0)).toSeq === Seq("a b", "b c"))
       assert(r5.head.getLong(1) === 8250560606382298838L)
       assert(r5.head.getSeq[Int](2) === Seq(0))
       assert(r5.head.getSeq[Int](3) === Seq(0))
+      // "a b","b a","a b","b a" → 4 total, 2 distinct, top multiplicity 2
+      val st = r5.head.getStruct(4)
+      assert((st.getLong(0), st.getLong(1), st.getLong(2)) === ((4L, 2L, 2L)))
+
+      // ngram_counts is a second generator → its own query
+      val nc = s2.sql(
+        "SELECT ngram_counts(array('a','b','a','b','a'), 2) AS (g, c)")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(nc === Seq(("a b", 2L), ("b a", 2L)))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
