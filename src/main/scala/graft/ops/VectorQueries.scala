@@ -181,7 +181,16 @@ object VectorQueries {
        |  CAST(CASE WHEN cos >= $neardupThreshold THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
   ) { (spark, dir) =>
-    val e = vectors(spark, dir)
+    blockNearestNeighbors(vectors(spark, dir)).orderBy("vec_id")
+  }
+
+  /** The all-pairs join + rank-window form of d05, kept as the
+    * reference model: VectorPqSpec pins [[blockNearestNeighbors]]
+    * against it bit-for-bit (including tie-breaks) on randomized
+    * corpora. Not the measured query — the join materializes every
+    * within-block pair and the window sorts them all.
+    */
+  def blockNearDupNaive(e: DataFrame): DataFrame = {
     val a = e.toDF("vec_id", "label", "v", "nrm")
     val b = e.toDF("nn", "label_b", "bv", "bnrm")
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn"))
@@ -193,7 +202,128 @@ object VectorQueries {
       .select(col("vec_id"), col("label"), col("nn").as("nn_id"),
         col("cos").as("nn_cos"),
         when(col("cos") >= neardupThreshold, 1L).otherwise(0L).as("is_neardup"))
-      .orderBy("vec_id")
+  }
+
+  /** Exact block-local nearest neighbor WITHOUT materializing the
+    * within-block pair set: each label block is sorted by the first
+    * normalized coordinate c1 = v[0]/‖v‖ and scanned outward per
+    * vector under the projection bound — for unit vectors
+    * cos(a,b) = 1 − ‖â−b̂‖²/2 and ‖â−b̂‖² ≥ (c1ₐ−c1ᵦ)², so once
+    * (Δc1)² > 2 − 2·best + ε no vector further out in either
+    * direction can beat the incumbent (ε = 1e-9 absorbs the ~1e-14
+    * float error of the bound arithmetic — pruning is conservative,
+    * never answer-changing). Worst case is still the block quadratic
+    * (isolated vectors with low best-cos scan their whole block);
+    * duplicate-heavy corpora — the near-dup use case — find a
+    * cos≈1 incumbent within a few steps and collapse the band to
+    * nothing, replacing the O(B²) pair join + rank window with an
+    * O(B log B) sort and a near-linear scan.
+    *
+    * Bit-compatibility with the join form: the reported cosine is the
+    * SAME expression (ascending ArrayDot fold ÷ (‖a‖·‖b‖), evaluated
+    * here with the identical operation order), the incumbent
+    * comparator is (cos DESC, id ASC) under java.lang.Double.compare
+    * (NaN-largest, matching Spark's double ordering; −0.0 is
+    * unreachable — the fold starts at +0.0), and singleton blocks
+    * emit nothing, exactly like the inner join. The one
+    * `mapPartitions` outside m01's batch decode — the bound-adaptive
+    * scan has no declarative equivalent (a fixed-radius band join
+    * over-scans isolated vectors; a per-row radius is not a join
+    * key). 100 TB posture: label is the partition key (same as the
+    * join form's shuffle), blocks stream one at a time per task, and
+    * per-block memory is the block's vectors — the same working set
+    * the join's build side held.
+    */
+  def blockNearestNeighbors(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val typed = e.select(col("vec_id").cast("long").as("_1"),
+        col("label").cast("int").as("_2"),
+        col("v").as("_3"), col("nrm").cast("double").as("_4"))
+      .as[(Long, Int, Array[Double], Double)]
+    val scanned = typed
+      .repartition(col("_2"))
+      .sortWithinPartitions(col("_2"),
+        when(size(col("_3")) > 0 && col("_4") =!= 0.0,
+          element_at(col("_3"), 1) / col("_4")).otherwise(lit(0.0)),
+        col("_1"))
+      .mapPartitions { it =>
+        val buf = it.toArray // all blocks of this partition's labels
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Long)]
+        var start = 0
+        while (start < buf.length) {
+          var end = start + 1
+          while (end < buf.length && buf(end)._2 == buf(start)._2) end += 1
+          scanBlock(buf, start, end, out)
+          start = end
+        }
+        out.iterator
+      }
+    scanned.toDF("vec_id", "label", "nn_id", "nn_cos", "is_neardup")
+  }
+
+  /** Outward two-pointer scan of one sorted block [start, end). */
+  private def scanBlock(block: Array[(Long, Int, Array[Double], Double)],
+      start: Int, end: Int,
+      out: scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double, Long)]): Unit = {
+    val n = end - start
+    if (n < 2) return // singleton blocks emit nothing (inner-join parity)
+    val eps = 1e-9
+    val c1 = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val (_, _, v, nrm) = block(start + i)
+      // same guard as the sort key: degenerate rows pin to 0.0 (their
+      // cosines are NaN either way — outside the engine contract under
+      // ANSI, where the declarative form's division would throw)
+      c1(i) = if (v.length > 0 && nrm != 0.0) v(0) / nrm else 0.0
+      i += 1
+    }
+    def cosOf(i: Int, j: Int): Double = {
+      val a = block(start + i); val b = block(start + j)
+      val (va, vb) = (a._3, b._3)
+      val len = math.min(va.length, vb.length)
+      var s = 0.0
+      var k = 0
+      while (k < len) { s += va(k) * vb(k); k += 1 }
+      s / (a._4 * b._4)
+    }
+    i = 0
+    while (i < n) {
+      var bestCos = Double.NaN
+      var bestId = Long.MaxValue
+      var seen = false
+      // candidates in ascending |Δc1| order; a direction dies once its
+      // Δ² exceeds the (monotonically tightening) bound
+      var lo = i - 1
+      var hi = i + 1
+      while (lo >= 0 || hi < n) {
+        val dLo = if (lo >= 0) c1(i) - c1(lo) else Double.PositiveInfinity
+        val dHi = if (hi < n) c1(hi) - c1(i) else Double.PositiveInfinity
+        val takeLo = dLo <= dHi
+        val d = if (takeLo) dLo else dHi
+        if (seen && !java.lang.Double.isNaN(bestCos) &&
+            d * d > 2.0 - 2.0 * bestCos + eps) {
+          // nothing further out can win in EITHER direction (d is the
+          // smaller of the two fronts)
+          lo = -1; hi = n
+        } else {
+          val j = if (takeLo) lo else hi
+          val cos = cosOf(i, j)
+          val id = block(start + j)._1
+          val cmp = java.lang.Double.compare(cos, bestCos)
+          if (!seen || cmp > 0 || (cmp == 0 && id < bestId)) {
+            bestCos = cos; bestId = id; seen = true
+          }
+          if (takeLo) lo -= 1 else hi += 1
+        }
+      }
+      val me = block(start + i)
+      out += ((me._1, me._2, bestId, bestCos,
+        if (bestCos >= neardupThreshold) 1L else 0L))
+      i += 1
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -38,6 +38,31 @@ class VectorPqSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("blockNearestNeighbors equals the all-pairs join + rank window bit-for-bit") {
+    import spark.implicits._
+    graft.functions.CustomFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 240L).map { i =>
+      (i, rnd.nextInt(6), Array.fill(8)(rnd.nextGaussian()))
+    }
+    val rows = base.map { case (i, l, v) =>
+      if (i % 10 == 3) (i, l, base((i - 1).toInt)._3) // exact duplicate → cos 1.0 tie
+      else (i, l, v)
+    } :+ ((999L, 99, Array.fill(8)(rnd.nextGaussian()))) // singleton block
+    val e = rows.toDF("vec_id", "label", "v")
+      .withColumn("nrm", VectorQueries.norm(col("v")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map { r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)), r.getLong(4))
+      }.toSeq
+    val fast = canon(VectorQueries.blockNearestNeighbors(e))
+    val naive = canon(VectorQueries.blockNearDupNaive(e))
+    assert(fast.nonEmpty)
+    assert(!fast.map(_._1).contains(999L)) // singleton emits nothing
+    assert(fast === naive)
+  }
+
   test("s04 re-ranked scores are the true cosines (quantization only picks the shortlist)") {
     val rows = VectorQueries.s04.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
