@@ -535,12 +535,22 @@ object TextQueries {
       call_function("md5_lower64",
         concat(i.cast("string"), lit(":"), tok))
         .bitwiseAND(lit((cmWidth - 1).toLong))
-    val toks = sharedToks(spark, dir).select("tok")
-    val sketch = toks
-      .select(explode(sequence(lit(0), lit(cmDepth - 1))).as("i"), col("tok"))
-      .select(col("i"), bucket(col("i"), col("tok")).as("bucket"))
-      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
-    val top = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    // Aggregate to the vocabulary FIRST: a bucket's count is the sum of
+    // its tokens' corpus frequencies, so the sketch needs |V|·depth
+    // hashes over the vocabulary relation — not tokens·depth over every
+    // instance (the instance-exploded form md5-hashes the same token
+    // once per occurrence per depth; at corpus scale that is the entire
+    // query). One token shuffle (map-side-combined groupBy) feeds the
+    // sketch, the heavy-hitter list, and the probes; bucket counts are
+    // bit-identical (long sums, same per-(i, tok) hash).
+    val vocab = sharedToks(spark, dir).select("tok")
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val sketch = vocab
+      .select(col("tok"), col("freq"),
+        explode(sequence(lit(0), lit(cmDepth - 1))).as("i"))
+      .select(col("i"), bucket(col("i"), col("tok")).as("bucket"), col("freq"))
+      .groupBy("i", "bucket").agg(sum(col("freq")).as("c"))
+    val top = vocab
       .orderBy(col("freq").desc, col("tok"))
       .limit(20)
     top
