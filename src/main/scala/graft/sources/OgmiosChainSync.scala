@@ -137,13 +137,17 @@ final class OgmiosChainSync(transport: OgmiosChainSync.MessageTransport,
   * `{"rollback":{"slot":N}}` (the `StreamIngest` truncation message).
   */
 final class NdjsonSink(path: String) extends AutoCloseable {
-  private val out = new java.io.PrintWriter(
-    java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path),
-      StandardCharsets.UTF_8))
+  // a raw BufferedWriter, NOT PrintWriter: PrintWriter swallows
+  // IOExceptions (println/close never throw), so a disk-full landing
+  // file would be silently truncated and the downstream readers would
+  // consume an incomplete chain with no failure signal
+  private val out = java.nio.file.Files.newBufferedWriter(
+    java.nio.file.Paths.get(path), StandardCharsets.UTF_8)
+  private def line(s: String): Unit = { out.write(s); out.write('\n') }
   def apply(e: OgmiosChainSync.ChainEvent): Unit = e match {
-    case OgmiosChainSync.RollForward(json, _, _) => out.println(json)
+    case OgmiosChainSync.RollForward(json, _, _) => line(json)
     case OgmiosChainSync.RollBackward(p) =>
-      out.println(s"""{"rollback":{"slot":${p.slot}}}""")
+      line(s"""{"rollback":{"slot":${p.slot}}}""")
   }
   override def close(): Unit = out.close()
 }
@@ -192,11 +196,28 @@ final class WebSocketTransport(host: String, port: Int, path: String = "/")
     out.flush()
   }
 
+  /** Assemble one complete data message. The fragment accumulator lives
+    * in this loop, so control frames interleaved between continuation
+    * fragments (RFC 6455 §5.4/§5.5 explicitly permits them — and large
+    * Ogmios block responses are exactly the messages likely to fragment)
+    * are answered with ONLY their own payload while reassembly resumes
+    * with the buffered fragments intact.
+    */
   override def receive(): String = {
+    var dataOp = -1 // opcode of the in-flight fragmented message, if any
+    val acc = mutable.ArrayBuffer.empty[Byte]
     while (true) {
-      val (op, payload) = readFrame(in)
+      val (fin, op, payload) = readRawFrame(in)
       op match {
-        case OpText | OpBinary => return new String(payload, StandardCharsets.UTF_8)
+        case OpText | OpBinary | OpCont =>
+          if (op == OpCont)
+            require(dataOp >= 0, "continuation frame with no message in flight")
+          else {
+            require(dataOp < 0, "new data frame inside a fragmented message")
+            dataOp = op
+          }
+          acc ++= payload
+          if (fin) return new String(acc.toArray, StandardCharsets.UTF_8)
         case OpPing =>
           out.write(encodeFrame(OpPong, payload, mask = true)); out.flush()
         case OpPong => () // unsolicited — ignore
@@ -217,6 +238,7 @@ final class WebSocketTransport(host: String, port: Int, path: String = "/")
 }
 
 object WebSocketTransport {
+  val OpCont = 0x0
   val OpText = 0x1
   val OpBinary = 0x2
   val OpClose = 0x8
@@ -230,9 +252,16 @@ object WebSocketTransport {
 
   /** One unfragmented frame (FIN set). Client frames MUST mask. */
   private[graft] def encodeFrame(op: Int, payload: Array[Byte],
-      mask: Boolean): Array[Byte] = {
+      mask: Boolean): Array[Byte] =
+    encodeRawFrame(fin = true, op, payload, mask)
+
+  /** One frame with explicit FIN — lets tests build fragmented
+    * messages (FIN=0 first fragment, OpCont continuations).
+    */
+  private[graft] def encodeRawFrame(fin: Boolean, op: Int,
+      payload: Array[Byte], mask: Boolean): Array[Byte] = {
     val buf = mutable.ArrayBuffer.empty[Byte]
-    buf += (0x80 | op).toByte
+    buf += ((if (fin) 0x80 else 0x00) | op).toByte
     val maskBit = if (mask) 0x80 else 0x00
     val n = payload.length
     if (n <= 125) buf += (maskBit | n).toByte
@@ -252,35 +281,39 @@ object WebSocketTransport {
     buf.toArray
   }
 
-  /** Read one frame; control frames are passed through to the caller.
-    * Handles continuation by accumulating until FIN.
+  /** Read exactly ONE frame (no reassembly): (FIN, opcode, unmasked
+    * payload). Message-level reassembly belongs to the caller
+    * ([[WebSocketTransport.receive]]) so control frames interjected
+    * between fragments (RFC 6455 §5.4) never touch the data buffer.
+    */
+  private[graft] def readRawFrame(in: DataInputStream): (Boolean, Int, Array[Byte]) = {
+    val b0 = in.readUnsignedByte()
+    val fin = (b0 & 0x80) != 0
+    val op = b0 & 0x0f
+    // control frames MUST NOT be fragmented (RFC 6455 §5.5)
+    require(op < 0x8 || fin, s"fragmented control frame $op")
+    val b1 = in.readUnsignedByte()
+    val masked = (b1 & 0x80) != 0
+    var len: Long = b1 & 0x7f
+    if (len == 126) len = in.readUnsignedShort().toLong
+    else if (len == 127) len = in.readLong()
+    require(len <= Int.MaxValue, s"frame too large: $len")
+    val key = if (masked) {
+      val k = new Array[Byte](4); in.readFully(k); k
+    } else null
+    val payload = new Array[Byte](len.toInt)
+    in.readFully(payload)
+    if (masked) payload.indices.foreach(i =>
+      payload(i) = (payload(i) ^ key(i % 4)).toByte)
+    (fin, op, payload)
+  }
+
+  /** One complete unfragmented unit — kept for codec roundtrip tests;
+    * the transport reads [[readRawFrame]] directly.
     */
   private[graft] def readFrame(in: DataInputStream): (Int, Array[Byte]) = {
-    var op = -1
-    val acc = mutable.ArrayBuffer.empty[Byte]
-    var fin = false
-    while (!fin) {
-      val b0 = in.readUnsignedByte()
-      fin = (b0 & 0x80) != 0
-      val frameOp = b0 & 0x0f
-      if (frameOp != 0) op = frameOp
-      val b1 = in.readUnsignedByte()
-      val masked = (b1 & 0x80) != 0
-      var len: Long = b1 & 0x7f
-      if (len == 126) len = in.readUnsignedShort().toLong
-      else if (len == 127) len = in.readLong()
-      require(len <= Int.MaxValue, s"frame too large: $len")
-      val key = if (masked) {
-        val k = new Array[Byte](4); in.readFully(k); k
-      } else null
-      val payload = new Array[Byte](len.toInt)
-      in.readFully(payload)
-      if (masked) payload.indices.foreach(i =>
-        payload(i) = (payload(i) ^ key(i % 4)).toByte)
-      acc ++= payload
-      // control frames are never fragmented; return them immediately
-      if (op >= 0x8) return (op, acc.toArray)
-    }
-    (op, acc.toArray)
+    val (fin, op, payload) = readRawFrame(in)
+    require(fin, "readFrame expects an unfragmented frame")
+    (op, payload)
   }
 }

@@ -101,6 +101,91 @@ class OgmiosChainSyncSpec extends AnyFunSuite {
     }
   }
 
+  test("loopback socket: handshake, echo, fragmentation with interleaved ping, close") {
+    import java.io.{DataInputStream => DIS, DataOutputStream => DOS}
+    import WebSocketTransport._
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    @volatile var serverErr: Throwable = null
+    val gotPong = new java.util.concurrent.CountDownLatch(1)
+    val gotClose = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DIS(s.getInputStream)
+        val out = new DOS(s.getOutputStream)
+        // --- HTTP upgrade: read request, answer 101 with the accept key
+        val req = new StringBuilder
+        while (!req.endsWith("\r\n\r\n")) req.append(in.readByte().toChar)
+        val key = req.toString.linesIterator
+          .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+          .map(l => l.substring(l.indexOf(':') + 1).trim).get
+        out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: ${acceptKey(key)}\r\n\r\n")
+          .getBytes(StandardCharsets.UTF_8))
+        out.flush()
+        // --- echo the client's (masked) text frame
+        val (fin1, op1, p1) = readRawFrame(in)
+        assert(fin1 && op1 == OpText)
+        out.write(encodeFrame(OpText, p1, mask = false)); out.flush()
+        // --- fragmented message with a ping interjected between the
+        // fragments (RFC 6455 §5.4/§5.5) — the Ogmios big-block case
+        out.write(encodeRawFrame(fin = false, OpText,
+          "big ".getBytes(StandardCharsets.UTF_8), mask = false))
+        out.flush()
+        out.write(encodeFrame(OpPing, "k33p".getBytes(StandardCharsets.UTF_8),
+          mask = false))
+        out.flush()
+        out.write(encodeRawFrame(fin = false, OpCont,
+          "block ".getBytes(StandardCharsets.UTF_8), mask = false))
+        out.flush()
+        out.write(encodeRawFrame(fin = true, OpCont,
+          "payload".getBytes(StandardCharsets.UTF_8), mask = false))
+        out.flush()
+        // client must answer the ping with a pong carrying its payload
+        val (finP, opP, pP) = readRawFrame(in)
+        assert(finP && opP == OpPong &&
+          new String(pP, StandardCharsets.UTF_8) == "k33p")
+        gotPong.countDown()
+        // --- close handshake initiated by the client
+        val (_, opC, _) = readRawFrame(in)
+        assert(opC == OpClose)
+        out.write(encodeFrame(OpClose, Array.emptyByteArray, mask = false))
+        out.flush()
+        gotClose.countDown()
+        s.close()
+      } catch { case e: Throwable => serverErr = e }
+    })
+    t.start()
+    try {
+      val ws = new WebSocketTransport("127.0.0.1", server.getLocalPort)
+      ws.send("ping me back")
+      assert(ws.receive() === "ping me back")
+      // the interleaved ping must not corrupt or drop the fragments
+      assert(ws.receive() === "big block payload")
+      assert(gotPong.await(5, java.util.concurrent.TimeUnit.SECONDS))
+      ws.close()
+      assert(gotClose.await(5, java.util.concurrent.TimeUnit.SECONDS))
+      t.join(5000)
+      assert(serverErr == null, s"server thread failed: $serverErr")
+    } finally server.close()
+  }
+
+  test("NdjsonSink propagates write failures instead of swallowing them") {
+    val dir = Files.createTempDirectory("graft-sink")
+    val f = dir.resolve("x.ndjson")
+    val sink = new NdjsonSink(f.toString)
+    sink(RollForward("""{"slot":1}""", 1L, 10L))
+    sink.close()
+    // writes after close must fail loudly (PrintWriter would have
+    // silently set an internal flag instead)
+    intercept[java.io.IOException] {
+      sink(RollForward("""{"slot":2}""", 2L, 10L))
+      sink.close()
+    }
+  }
+
   test("frame codec: control frames pass through; accept key matches RFC 6455 vector") {
     val ping = WebSocketTransport.encodeFrame(
       WebSocketTransport.OpPing, "hi".getBytes(StandardCharsets.UTF_8), mask = false)
