@@ -230,9 +230,11 @@ object VectorQueries {
     * scan has no declarative equivalent (a fixed-radius band join
     * over-scans isolated vectors; a per-row radius is not a join
     * key). 100 TB posture: label is the partition key (same as the
-    * join form's shuffle), blocks stream one at a time per task, and
-    * per-block memory is the block's vectors — the same working set
-    * the join's build side held.
+    * join form's shuffle); the scan consumes the sorted iterator one
+    * consecutive-label block at a time (buffer, scan, emit, release),
+    * so per-task memory is the LARGEST single block's vectors plus its
+    * output — the same working set the join's build side held — not
+    * the sum of every block hashed to the partition.
     */
   def blockNearestNeighbors(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
@@ -247,18 +249,33 @@ object VectorQueries {
         when(size(col("_3")) > 0 && col("_4") =!= 0.0,
           element_at(col("_3"), 1) / col("_4")).otherwise(lit(0.0)),
         col("_1"))
-      .mapPartitions { it =>
-        val buf = it.toArray // all blocks of this partition's labels
-        val out =
-          scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Long)]
-        var start = 0
-        while (start < buf.length) {
-          var end = start + 1
-          while (end < buf.length && buf(end)._2 == buf(start)._2) end += 1
-          scanBlock(buf, start, end, out)
-          start = end
+      .mapPartitions { rows =>
+        // one consecutive-label block in memory at a time: the sorted
+        // iterator delivers rows grouped by label, so buffer a block,
+        // scan it, emit, and release before pulling the next — per-task
+        // memory is max(block), not Σ(blocks hashed to the partition)
+        val src = rows.buffered
+        new Iterator[(Long, Int, Long, Double, Long)] {
+          private var out =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Long)]
+          private var idx = 0
+          private def advance(): Unit =
+            while (idx >= out.length && src.hasNext) {
+              val label = src.head._2
+              val block =
+                scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Double], Double)]
+              while (src.hasNext && src.head._2 == label)
+                block += src.next()
+              out = scala.collection.mutable.ArrayBuffer.empty
+              idx = 0
+              scanBlock(block.toArray, 0, block.length, out)
+            }
+          override def hasNext: Boolean = { advance(); idx < out.length }
+          override def next(): (Long, Int, Long, Double, Long) = {
+            advance()
+            val r = out(idx); idx += 1; r
+          }
         }
-        out.iterator
       }
     scanned.toDF("vec_id", "label", "nn_id", "nn_cos", "is_neardup")
   }

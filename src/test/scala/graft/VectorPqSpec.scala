@@ -63,6 +63,33 @@ class VectorPqSpec extends SparkSpec {
     assert(fast === naive)
   }
 
+  test("blockNearestNeighbors streams partitions holding MANY label blocks correctly") {
+    import spark.implicits._
+    // 40 labels over 4 shuffle partitions → every partition holds
+    // several consecutive-label blocks; the block-at-a-time scan must
+    // segment them exactly (no cross-block candidates, none skipped)
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 400L).map(i => (i, (i % 40).toInt,
+      Array.fill(6)(rnd.nextGaussian())))
+    val e = rows.toDF("vec_id", "label", "v")
+      .withColumn("nrm", VectorQueries.norm(col("v")))
+    // confirm the premise: some task really does see multiple blocks
+    val blocksPerPartition = e
+      .repartition(col("label")).select("label")
+      .mapPartitions(it => Iterator.single(it.map(_.getInt(0)).toSet.size))
+      .collect()
+    assert(blocksPerPartition.exists(_ > 1),
+      s"premise broken: one block per partition (${blocksPerPartition.toSeq})")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map { r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)), r.getLong(4))
+      }.toSeq
+    val fast = canon(VectorQueries.blockNearestNeighbors(e))
+    assert(fast.size === 400)
+    assert(fast === canon(VectorQueries.blockNearDupNaive(e)))
+  }
+
   test("s04 re-ranked scores are the true cosines (quantization only picks the shortlist)") {
     val rows = VectorQueries.s04.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
