@@ -763,6 +763,8 @@ object CustomFunctions {
     ("ngram_counts", NGramCountExplode.fromExprs _, classOf[NGramCountExplode]),
     ("top_cells", TopCells.fromExprs _, classOf[TopCells]),
     ("md5_lower64", Md5Lower64.fromExprs _, classOf[Md5Lower64]),
+    ("decimal_micros", DecimalMicros.fromExprs _, classOf[DecimalMicros]),
+    ("micros_double", MicrosDouble.fromExprs _, classOf[MicrosDouble]),
     ("bloom_agg",
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate
@@ -1177,4 +1179,129 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
   override def prettyName: String = "pq_encode"
+}
+
+object DecimalMicros {
+  /** SQL/call_function builder: `decimal_micros(d)`. */
+  def fromExprs(exprs: Seq[Expression]): DecimalMicros = {
+    require(exprs.length == 1, "decimal_micros(value) takes exactly 1 argument")
+    DecimalMicros(exprs.head)
+  }
+
+  /** The exact unscaled value of `CAST(d AS DECIMAL(38,6))`, as a long —
+    * bit-identical to Spark's cast by construction: the cast goes
+    * Double → `BigDecimal.valueOf` (shortest decimal representation) →
+    * `setScale(6, HALF_UP)` (`Decimal.toPrecision`'s default mode), and
+    * this helper performs the same two steps and returns the unscaled
+    * long. Null (the cast's overflow behavior under non-ANSI semantics)
+    * for NaN/±Inf and for |d| ≥ ~9.2e12 where the unscaled value
+    * exceeds a signed 64-bit long. Called from generated code.
+    */
+  def microsOrNull(d: Double): java.lang.Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+    val bd = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    try java.lang.Long.valueOf(bd.unscaledValue().longValueExact())
+    catch { case _: ArithmeticException => null }
+  }
+}
+
+/** Fixed-point accumulator feed: `decimal_micros(d)` = the unscaled
+  * (×10⁶) long of `CAST(d AS DECIMAL(38,6))`. Lets exact double
+  * aggregation run on LONG partials — a primitive, in-place-mutable
+  * aggregation buffer inside whole-stage codegen — instead of
+  * DECIMAL(38,6) partials, whose every `+` is a Java BigDecimal
+  * allocation (the measured 9.5× q03 gap vs DuckDB's int128 sums at
+  * sf1). `micros_double(SUM(decimal_micros(d)))` is bit-identical to
+  * `CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE)` whenever the SUM's
+  * unscaled total stays within ±2⁶³ (|Σd| < ~9.2e12) — DecimalSumSpec
+  * pins the equivalence per input column on real data. Beyond that
+  * bound (group sums past ~9.2e12 units) keep the DECIMAL(38,6) path:
+  * its 128-bit headroom is exactly what the wider type buys.
+  */
+case class DecimalMicros(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"decimal_micros requires double, got ${other.simpleString(10)}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val boxed = DecimalMicros.microsOrNull(v.asInstanceOf[Double])
+      if (boxed == null) null else boxed.longValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("micros")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.Long $tmp = graft.functions.DecimalMicros.microsOrNull($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecimalMicros =
+    copy(child = newChild)
+  override def prettyName: String = "decimal_micros"
+}
+
+object MicrosDouble {
+  /** SQL/call_function builder: `micros_double(l)`. */
+  def fromExprs(exprs: Seq[Expression]): MicrosDouble = {
+    require(exprs.length == 1, "micros_double(value) takes exactly 1 argument")
+    MicrosDouble(exprs.head)
+  }
+
+  /** `new BigDecimal(unscaled, 6).doubleValue()` — the same conversion
+    * `CAST(DECIMAL(38,6) AS DOUBLE)` performs (`Decimal.toDouble` is
+    * `toBigDecimal.doubleValue`), so the two paths agree bit-for-bit.
+    * Called from generated code.
+    */
+  def toDouble(unscaled: Long): Double =
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(unscaled), 6)
+      .doubleValue()
+}
+
+/** Inverse feed of [[DecimalMicros]]: reads a ×10⁶ unscaled long back as
+  * the double `CAST(DECIMAL(38,6) AS DOUBLE)` would produce. Applied
+  * once per GROUP (after the long-partial SUM), so its BigDecimal hop is
+  * off the per-row hot path.
+  */
+case class MicrosDouble(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"micros_double requires bigint, got ${other.simpleString(10)}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MicrosDouble.toDouble(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.MicrosDouble.toDouble($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MicrosDouble =
+    copy(child = newChild)
+  override def prettyName: String = "micros_double"
 }

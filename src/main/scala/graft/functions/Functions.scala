@@ -68,4 +68,34 @@ object Functions {
 
   /** Matching DuckDB-side SQL fragment for [[dec]]. */
   def decSql(e: String): String = s"CAST($e AS DECIMAL(38,6))"
+
+  /** Long-partial twin of the [[dec]] accumulator, for the hot grouped
+    * sums: `microsDouble(sum(decMicros(c)))` is bit-identical to
+    * `sum(dec(c)).cast("double")` while the SUM runs on primitive LONG
+    * partials (in-place-mutable codegen buffer) instead of
+    * DECIMAL(38,6)'s per-add BigDecimal. Valid while the group's
+    * unscaled total stays within ±2⁶³ (|Σc| < ~9.2e12 units) —
+    * see [[graft.functions.DecimalMicros]]; keep [[dec]] above that.
+    */
+  def decMicros(c: Column): Column = call_function("decimal_micros", c)
+
+  /** Final per-group read-back for [[decMicros]] sums. */
+  def microsDouble(c: Column): Column = call_function("micros_double", c)
+
+  /** Cell-level read-back of a micros long into the exact DECIMAL(38,6)
+    * it encodes, for headroom-safe SECOND-level summation (rollup/cube
+    * grand totals, which aggregate ungrouped-scale magnitudes): the
+    * value has at most 6 decimal places, so the division is exact at
+    * the result scale and the re-cast changes representation, not
+    * value. Runs once per pre-aggregated CELL — its BigDecimal hop is
+    * off the per-row hot path, while the 128-bit DECIMAL partials above
+    * it keep the ±2⁶³ micros bound from ever applying to the roll-up.
+    */
+  def microsDec(c: Column): Column =
+    (c.cast("decimal(38,6)") / lit(1000000).cast("decimal(7,0)"))
+      .cast("decimal(38,6)")
+
+  /** DuckDB twin of [[microsDec]] for oracle SQL over micros longs. */
+  def microsDecSql(e: String): String =
+    s"CAST(CAST($e AS DECIMAL(38,6)) / 1000000 AS DECIMAL(38,6))"
 }

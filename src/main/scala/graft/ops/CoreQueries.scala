@@ -79,6 +79,11 @@ object CoreQueries {
        |  MAX(l_extendedprice) AS max_price, MIN(l_extendedprice) AS min_price
        |FROM lineitem WHERE l_extendedprice > 50000""".stripMargin
   ) { (spark, dir) =>
+    // Deliberately NOT the long-micros fast path (cf. q03): this is a
+    // single UNGROUPED financial total, whose unscaled sum crosses the
+    // ±2⁶³ micros bound around sf25 (~9.2e12 price units) — the one
+    // shape where DECIMAL(38,6)'s 128-bit headroom is the requirement,
+    // not a tax.
     table(spark, dir, "lineitem")
       .filter(col("l_extendedprice") > 50000d)
       .agg(
@@ -108,24 +113,35 @@ object CoreQueries {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) { (spark, dir) =>
+    // Long-micros partials instead of DECIMAL(38,6) partials: every
+    // DECIMAL(38) `+` is a Java BigDecimal allocation, the measured
+    // 9.5× gap vs DuckDB's int128 sums at sf1. decimal_micros rounds
+    // each double to the cast's exact unscaled value ONCE per row, the
+    // five SUMs then run on primitive longs, and micros_double reads
+    // each group total back as the identical double — DecimalSumSpec
+    // pins bit-equality vs the dec() form on real data. Bound: exact
+    // while a group's unscaled total fits ±2⁶³ (|Σ| < ~9.2e12 units —
+    // extendedprice sums reach ~1e11/group at sf1, ~1e13 only around
+    // sf100: at that scale flip these five sums back to dec()).
+    graft.functions.CustomFunctions.register(spark)
     val li = table(spark, dir, "lineitem")
     li.filter(col("l_shipdate") <= tsLit(li, "l_shipdate", "1998-09-01 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).as("_sq"),
-        sum(dec(col("l_extendedprice"))).as("_sp"),
-        sum(dec(col("l_extendedprice") * (lit(1d) - col("l_discount")))).as("_sdp"),
-        sum(dec(col("l_extendedprice") * (lit(1d) - col("l_discount")) * (lit(1d) + col("l_tax")))).as("_sc"),
-        sum(dec(col("l_discount"))).as("_sd"),
+        sum(decMicros(col("l_quantity"))).as("_sq"),
+        sum(decMicros(col("l_extendedprice"))).as("_sp"),
+        sum(decMicros(col("l_extendedprice") * (lit(1d) - col("l_discount")))).as("_sdp"),
+        sum(decMicros(col("l_extendedprice") * (lit(1d) - col("l_discount")) * (lit(1d) + col("l_tax")))).as("_sc"),
+        sum(decMicros(col("l_discount"))).as("_sd"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),
-        col("_sq").cast("double").as("sum_qty"),
-        col("_sp").cast("double").as("sum_base_price"),
-        col("_sdp").cast("double").as("sum_disc_price"),
-        col("_sc").cast("double").as("sum_charge"),
-        (col("_sq").cast("double") / col("count_order")).as("avg_qty"),
-        (col("_sp").cast("double") / col("count_order")).as("avg_price"),
-        (col("_sd").cast("double") / col("count_order")).as("avg_disc"),
+        microsDouble(col("_sq")).as("sum_qty"),
+        microsDouble(col("_sp")).as("sum_base_price"),
+        microsDouble(col("_sdp")).as("sum_disc_price"),
+        microsDouble(col("_sc")).as("sum_charge"),
+        (microsDouble(col("_sq")) / col("count_order")).as("avg_qty"),
+        (microsDouble(col("_sp")) / col("count_order")).as("avg_price"),
+        (microsDouble(col("_sd")) / col("count_order")).as("avg_disc"),
         col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -217,13 +233,18 @@ object CoreQueries {
     // fact table — where the join form scans lineitem twice and pays the
     // aggregate's exchange on top of the join's. Bit-identical (the
     // window partial-sums the same exact decimals).
+    // Long-micros partials for both the window sum and the per-order
+    // re-sum (see DecimalMicros: bit-identical to the dec() form while
+    // the quantity totals stay under ~9.2e12 units — far past sf1000
+    // for per-(partkey,suppkey) groups).
+    graft.functions.CustomFunctions.register(spark)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("l_partkey", "l_suppkey")
     table(spark, dir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-      .withColumn("tot", sum(dec(col("l_quantity"))).over(w))
+      .withColumn("tot", sum(decMicros(col("l_quantity"))).over(w))
       .groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_items"), sum(col("tot")).cast("double").as("sum_group_qty"))
+      .agg(count(lit(1)).as("n_items"), microsDouble(sum(col("tot"))).as("sum_group_qty"))
       .orderBy("l_orderkey")
   }
 
@@ -409,12 +430,13 @@ object CoreQueries {
        |FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
        |GROUP BY n.n_nationkey, n.n_name ORDER BY n.n_nationkey""".stripMargin
   ) { (spark, dir) =>
+    graft.functions.CustomFunctions.register(spark)
     table(spark, dir, "nation")
       .join(table(spark, dir, "customer"),
         col("c_nationkey") === col("n_nationkey"), "left")
       .groupBy("n_nationkey", "n_name")
       .agg(count(col("c_custkey")).as("n_cust"),
-        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        microsDouble(sum(decMicros(col("c_acctbal")))).as("sum_bal"))
       .orderBy("n_nationkey")
   }
 
@@ -469,12 +491,13 @@ object CoreQueries {
        |FROM lineitem
        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin
   ) { (spark, dir) =>
+    graft.functions.CustomFunctions.register(spark)
     val w = Window.partitionBy("l_suppkey")
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     table(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+        microsDouble(sum(decMicros(col("l_quantity"))).over(w)).as("running_qty"))
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey")
   }
 
@@ -521,9 +544,10 @@ object CoreQueries {
     // bucket on the µs-truncated axis (tsUs): a timestamp within 1 µs
     // above an hour boundary must land in the same bucket as the oracle's
     // µs-read value at any scale factor.
+    graft.functions.CustomFunctions.register(spark)
     events(spark, dir)
       .groupBy((tsUs(col("ts")) - tsUs(col("ts")) % hourNs).as("bucket_ns"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), microsDouble(sum(decMicros(col("value")))).as("sum_value"))
       .orderBy("bucket_ns", "event_type")
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
+import graft.functions.Functions.{decMicros, microsDouble}
 import graft.io.Tables.table
 
 /** Operators the reference does NOT use (SURVEY.md §2.3/§2.4/§2.7
@@ -63,13 +64,18 @@ object ExtendedQueries {
     // the grand-total row's count is coalesced to 0 — a rollup over an
     // empty pre-aggregate yields NULL sums where the direct form counts
     // 0.)
+    // Long-micros partials in the fact-table pre-aggregate (the hot
+    // level; see DecimalMicros — quantity totals sit orders of
+    // magnitude under the ±2⁶³ bound even ungrouped). The rollup level
+    // re-sums a few dozen longs.
+    graft.functions.CustomFunctions.register(spark)
     table(spark, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("cnt0"),
-        sum(col("l_quantity").cast("decimal(38,6)")).as("sum0"))
+        sum(decMicros(col("l_quantity"))).as("sum0"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(coalesce(sum("cnt0"), lit(0L)).as("cnt"),
-        sum("sum0").cast("double").as("sum_qty"))
+        microsDouble(sum("sum0")).as("sum_qty"))
       .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
         coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
         col("cnt"), col("sum_qty"))
@@ -257,7 +263,8 @@ object ExtendedQueries {
        |ORDER BY user_id, session_seq""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.Functions.{dec, tsUs}
+    import graft.functions.Functions.tsUs
+    graft.functions.CustomFunctions.register(spark)
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     table(spark, dir, "events")
@@ -271,7 +278,7 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_events"),
         min("ts_us").as("start_us"), max("ts_us").as("end_us"),
         (max("ts_us") - min("ts_us")).as("duration_us"),
-        sum(dec(col("value"))).cast("double").as("sum_value"))
+        microsDouble(sum(decMicros(col("value")))).as("sum_value"))
       .orderBy("user_id", "session_seq")
   }
 
@@ -295,7 +302,7 @@ object ExtendedQueries {
       |GROUP BY l.l_orderkey, o.o_orderdate
       |ORDER BY revenue DESC, l.l_orderkey LIMIT 20""".stripMargin
   ) { (spark, dir) =>
-    import graft.functions.Functions.dec
+    graft.functions.CustomFunctions.register(spark)
     // session-TZ parse (pinned UTC), not JVM-default-TZ Timestamp.valueOf;
     // foldable, so the comparison still pushes into the parquet scan
     val cutoff = to_timestamp(lit("1995-03-15 00:00:00"))
@@ -311,8 +318,8 @@ object ExtendedQueries {
       .join(o, col("o_custkey") === col("c_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(sum(dec(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(microsDouble(sum(decMicros(
+        col("l_extendedprice") * (lit(1d) - col("l_discount"))))).as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("revenue"))
@@ -389,13 +396,17 @@ object ExtendedQueries {
       |       FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
   ) { (spark, dir) =>
-    import graft.functions.Functions.dec
+    // The correlated comparison runs entirely in long micros: with both
+    // sides at the same fixed scale, decimal > decimal IS unscaled-long
+    // > unscaled-long (price·cnt peaks ~2.5e13 micros per customer —
+    // nowhere near ±2⁶³).
+    graft.functions.CustomFunctions.register(spark)
     val o = table(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val per = o.groupBy("o_custkey")
-      .agg(count(lit(1)).as("cust_cnt"), sum(dec(col("o_totalprice"))).as("cust_sum"))
+      .agg(count(lit(1)).as("cust_cnt"), sum(decMicros(col("o_totalprice"))).as("cust_sum"))
     o.join(per, Seq("o_custkey"))
-      .filter(dec(col("o_totalprice")) * col("cust_cnt") > col("cust_sum"))
+      .filter(decMicros(col("o_totalprice")) * col("cust_cnt") > col("cust_sum"))
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
@@ -473,7 +484,7 @@ object ExtendedQueries {
        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
   }) { (spark, dir) =>
-    import graft.functions.Functions.dec
+    graft.functions.CustomFunctions.register(spark)
     val joined = table(spark, dir, "orders")
       .join(table(spark, dir, "customer"),
         col("c_custkey") === col("o_custkey"))
@@ -481,15 +492,15 @@ object ExtendedQueries {
       .groupBy("c_nationkey")
       .pivot("o_orderpriority", prios)
       .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("o_totalprice"))).as("sum"))
+        sum(decMicros(col("o_totalprice"))).as("sum"))
     // pivot names columns "<value>_cnt"/"<value>_sum"; project to the
-    // oracle's stable names and exact-decimal zero for empty cells
+    // oracle's stable names; an empty cell's NULL micros total reads
+    // back as the same 0.0 the exact-decimal zero produced
     val out = prios.foldLeft(pivoted) { (df, p) =>
       val key = p.split("-")(0)
       df.withColumn(s"cnt_$key", coalesce(col(s"`${p}_cnt`"), lit(0L)))
         .withColumn(s"sum_$key",
-          coalesce(col(s"`${p}_sum`"), lit(BigDecimal(0)).cast("decimal(38,6)"))
-            .cast("double"))
+          microsDouble(coalesce(col(s"`${p}_sum`"), lit(0L))))
     }
     out.select(col("c_nationkey") +:
         prios.flatMap { p =>
@@ -523,11 +534,11 @@ object ExtendedQueries {
       |  SELECT c_nationkey, 'max_bal' AS stat, max_bal AS value FROM agg)
       |ORDER BY c_nationkey, stat""".stripMargin
   ) { (spark, dir) =>
-    import graft.functions.Functions.dec
+    graft.functions.CustomFunctions.register(spark)
     table(spark, dir, "customer")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).cast("double").as("n_customers"),
-        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"),
+        microsDouble(sum(decMicros(col("c_acctbal")))).as("total_bal"),
         max(col("c_acctbal")).as("max_bal"))
       .unpivot(Array(col("c_nationkey")),
         Array(col("n_customers"), col("total_bal"), col("max_bal")),
@@ -596,7 +607,8 @@ object ExtendedQueries {
        |  ON e.ts_ns >= w.w_start AND e.ts_ns < w.w_start + $windowNs
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   ) { (spark, dir) =>
-    import graft.functions.Functions.{dec, tsUs}
+    import graft.functions.Functions.tsUs
+    graft.functions.CustomFunctions.register(spark)
     val ev = table(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
         tsUs(col("ts")).as("ts_ns"))
@@ -615,7 +627,7 @@ object ExtendedQueries {
       .groupBy("window_id", "w_start")
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"),
-        sum(dec(col("value"))).cast("double").as("sum_value"))
+        microsDouble(sum(decMicros(col("value")))).as("sum_value"))
       .orderBy("window_id")
   }
 
@@ -650,7 +662,6 @@ object ExtendedQueries {
        |  SELECT o_orderkey FROM orders WHERE o_totalprice > $bloomPriceMin)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (spark, dir) =>
-    import graft.functions.Functions.dec
     import graft.functions.CustomFunctions
     CustomFunctions.register(spark)
     val keys = table(spark, dir, "orders")
@@ -665,7 +676,7 @@ object ExtendedQueries {
       .join(broadcast(keys), col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        microsDouble(sum(decMicros(col("l_quantity")))).as("sum_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -693,7 +704,8 @@ object ExtendedQueries {
        |ORDER BY event_id""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.Functions.{dec, tsUs}
+    import graft.functions.Functions.tsUs
+    graft.functions.CustomFunctions.register(spark)
     val w = Window.partitionBy("user_id").orderBy("ts_ns")
       .rangeBetween(-trailNs, 0L)
     table(spark, dir, "events")
@@ -701,7 +713,7 @@ object ExtendedQueries {
         tsUs(col("ts")).as("ts_ns"))
       .select(col("event_id"), col("user_id"), col("ts_ns"),
         count(lit(1)).over(w).as("n_10m"),
-        sum(dec(col("value"))).over(w).cast("double").as("sum_10m"))
+        microsDouble(sum(decMicros(col("value"))).over(w)).as("sum_10m"))
       .orderBy("event_id")
   }
 
@@ -722,7 +734,7 @@ object ExtendedQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (spark, dir) =>
-    import graft.functions.Functions.dec
+    graft.functions.CustomFunctions.register(spark)
     table(spark, dir, "events")
       .select(col("user_id"), col("value"),
         from_json(col("props"),
@@ -732,7 +744,7 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"),
         min("k").as("min_k"), max("k").as("max_k"),
-        sum(dec(col("value"))).cast("double").as("sum_value"))
+        microsDouble(sum(decMicros(col("value")))).as("sum_value"))
       .orderBy("k_bucket")
   }
 
@@ -816,16 +828,21 @@ object ExtendedQueries {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
   ) { (spark, dir) =>
-    import graft.functions.Functions.dec
+    import graft.functions.Functions.microsDec
     // Same pre-aggregate-then-expand shape as q18: cube's Expand emits
     // 4 rows per input, so feed it the ~15-row (status × priority)
-    // pre-aggregate instead of the fact table.
+    // pre-aggregate instead of the fact table. The hot fact-table level
+    // sums long micros; the cube level converts each CELL back to its
+    // exact DECIMAL(38,6) and re-sums with 128-bit headroom — order
+    // values are the magnitudes whose GRAND-TOTAL cell would cross the
+    // ±2⁶³ micros bound around sf30 if the roll-up also ran on longs.
+    graft.functions.CustomFunctions.register(spark)
     table(spark, dir, "orders")
       .groupBy("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt0"), sum(dec(col("o_totalprice"))).as("sum0"))
+      .agg(count(lit(1)).as("cnt0"), sum(decMicros(col("o_totalprice"))).as("sum0"))
       .cube("o_orderstatus", "o_orderpriority")
       .agg(coalesce(sum("cnt0"), lit(0L)).as("cnt"),
-        sum("sum0").cast("double").as("sum_price"))
+        sum(microsDec(col("sum0"))).cast("double").as("sum_price"))
       .select(coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
         coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
         col("cnt"), col("sum_price"))
@@ -858,21 +875,22 @@ object ExtendedQueries {
        |ORDER BY nationkey, segment""".stripMargin
 
   val q38 = Q("q38_grouping_sets", q38Sql("customer")) { (spark, dir) =>
-    import graft.functions.Functions.dec
     // Pre-aggregate to (nationkey, segment) before the grouping-sets
     // Expand — same shape as q18/q37: COUNT(*) per set-group equals
-    // SUM of the pre-aggregate's counts, SUM of exact-decimal partials
-    // is bit-identical, and Expand runs over ~125 rows instead of the
-    // customer table.
+    // SUM of the pre-aggregate's counts, the hot level sums long micros
+    // (acctbal magnitudes never approach the ±2⁶³ bound), and Expand
+    // runs over ~125 rows instead of the customer table. micros_double
+    // reads each set-group total back as the identical double.
+    graft.functions.CustomFunctions.register(spark)
     table(spark, dir, "customer")
       .groupBy("c_nationkey", "c_mktsegment")
-      .agg(count(lit(1)).as("cnt0"), sum(dec(col("c_acctbal"))).as("sum0"))
+      .agg(count(lit(1)).as("cnt0"), sum(decMicros(col("c_acctbal"))).as("sum0"))
       .createOrReplaceTempView("q38_customer_pre")
     spark.sql(
       """SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nationkey,
         |  COALESCE(c_mktsegment, '<all>') AS segment,
         |  SUM(cnt0) AS cnt,
-        |  CAST(SUM(sum0) AS DOUBLE) AS sum_bal
+        |  micros_double(SUM(sum0)) AS sum_bal
         |FROM q38_customer_pre
         |GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
         |ORDER BY nationkey, segment""".stripMargin)
@@ -994,13 +1012,14 @@ object ExtendedQueries {
 
   private def sharedObs(spark: SparkSession, dir: String): DataFrame =
     obsMemo.getOrElseUpdate((spark, dir), {
-      import graft.functions.Functions.{dec, tsUs}
+      import graft.functions.Functions.tsUs
+      graft.functions.CustomFunctions.register(spark)
       table(spark, dir, "events")
         .select(col("user_id"), tsUs(col("ts")).as("ts_ns"), col("value"))
         .select(col("user_id"), expr(s"ts_ns div $hourNs").as("hour"),
           col("value"))
         .groupBy("user_id", "hour")
-        .agg(sum(dec(col("value"))).cast("double").as("v"))
+        .agg(microsDouble(sum(decMicros(col("value")))).as("v"))
         .cache()
     })
 

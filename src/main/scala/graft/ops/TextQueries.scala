@@ -594,13 +594,16 @@ object TextQueries {
        |FROM toks t JOIN vocab v ON t.tok = v.tok
        |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (spark, dir) =>
-    import graft.functions.Functions.dec
+    // freq is an integer count: LONG partial sums are already exact,
+    // and casting the exact integer total long→double rounds identically
+    // to the oracle's DECIMAL(38,6)→double (both correctly rounded from
+    // the same value) — no decimal accumulator needed at all.
     val toks = sharedToks(spark, dir)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
     toks.join(vocab, "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
-        sum(dec(col("freq"))).cast("double").as("sum_tok_freq"),
+        sum(col("freq")).cast("double").as("sum_tok_freq"),
         sum(when(col("freq") <= rareFreqMax, 1L).otherwise(0L)).as("n_rare"))
       .orderBy("doc_id")
   }
