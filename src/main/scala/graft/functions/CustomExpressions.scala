@@ -765,6 +765,7 @@ object CustomFunctions {
     ("md5_lower64", Md5Lower64.fromExprs _, classOf[Md5Lower64]),
     ("decimal_micros", DecimalMicros.fromExprs _, classOf[DecimalMicros]),
     ("micros_double", MicrosDouble.fromExprs _, classOf[MicrosDouble]),
+    ("json_get_long", JsonGetLong.fromExprs _, classOf[JsonGetLong]),
     ("bloom_agg",
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate
@@ -1304,4 +1305,192 @@ case class MicrosDouble(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MicrosDouble =
     copy(child = newChild)
   override def prettyName: String = "micros_double"
+}
+
+object JsonGetLong {
+  /** SQL/call_function builder: `json_get_long(json, key)` with a
+    * foldable string key (same literal-validation posture as TopCells —
+    * the function is exposed cluster-wide via the extension surface).
+    */
+  def fromExprs(exprs: Seq[Expression]): JsonGetLong = {
+    require(exprs.length == 2, "json_get_long(json, key) takes 2 arguments")
+    require(exprs(1).foldable && exprs(1).dataType == StringType,
+      s"json_get_long key must be a foldable string, got ${exprs(1).dataType.sql}")
+    val kv = exprs(1).eval()
+    require(kv != null, "json_get_long key must not be NULL")
+    val key = kv.asInstanceOf[UTF8String].toString
+    require(key.nonEmpty, "json_get_long key must be non-empty")
+    JsonGetLong(exprs.head, key)
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  /** Scan a top-level JSON object for `key` and return its integer value
+    * as a boxed long, or null when the document is not an object, the
+    * key is absent, or its value is not a JSON integer in long range —
+    * the same outcomes `from_json(js, 'key LONG')['key']` produces for
+    * those inputs (PERMISSIVE mode nulls the row on any conversion
+    * failure). Duplicate keys: last wins (Jackson's behavior). One pass,
+    * zero allocation — called from generated code.
+    *
+    * Envelope (JsonGetLongSpec pins it against from_json): well-formed
+    * object documents, keys without escape sequences. Documents that are
+    * malformed beyond the root-object frame, or that spell the target
+    * key with `\\u` escapes, are best-effort (null or skip) and may
+    * diverge from Jackson's row-null on such inputs.
+    */
+  def extract(s: UTF8String, key: Array[Byte]): java.lang.Long = {
+    val b = s.getBytes
+    val n = b.length
+    var i = 0
+    while (i < n && isWs(b(i))) i += 1
+    if (i >= n || b(i) != '{') return null
+    i += 1
+    var value: java.lang.Long = null
+    while (true) {
+      while (i < n && isWs(b(i))) i += 1
+      if (i >= n) return null
+      if (b(i) == '}') return value // end of root object; trailing bytes
+                                    // ignored (Jackson stops at the root
+                                    // END_OBJECT too)
+      // --- member key ---
+      if (b(i) != '"') return null
+      i += 1
+      val keyStart = i
+      var keyEscaped = false
+      while (i < n && b(i) != '"') {
+        if (b(i) == '\\') { keyEscaped = true; i += 2 } else i += 1
+      }
+      if (i >= n) return null
+      val keyLen = i - keyStart
+      i += 1
+      var isTarget = !keyEscaped && keyLen == key.length
+      if (isTarget) {
+        var j = 0
+        while (isTarget && j < keyLen) {
+          if (b(keyStart + j) != key(j)) isTarget = false
+          j += 1
+        }
+      }
+      while (i < n && isWs(b(i))) i += 1
+      if (i >= n || b(i) != ':') return null
+      i += 1
+      while (i < n && isWs(b(i))) i += 1
+      if (i >= n) return null
+      // --- member value ---
+      val c = b(i)
+      if (isTarget) {
+        if (c == '-' || isDigit(c)) {
+          val neg = c == '-'
+          if (neg) i += 1
+          if (i >= n || !isDigit(b(i))) return null
+          if (b(i) == '0' && i + 1 < n && isDigit(b(i + 1))) return null // leading zero: malformed JSON
+          // accumulate NEGATIVE so Long.MinValue parses without overflow
+          var acc = 0L
+          while (i < n && isDigit(b(i))) {
+            val d = b(i) - '0'
+            if (acc < (Long.MinValue + d) / 10) return null // |value| > 2^63: Jackson coercion fails
+            acc = acc * 10 - d
+            i += 1
+          }
+          if (i < n && (b(i) == '.' || b(i) == 'e' || b(i) == 'E')) return null // float: not a LONG
+          if (!neg && acc == Long.MinValue) return null // +2^63
+          value = java.lang.Long.valueOf(if (neg) acc else -acc)
+        } else if (c == 'n' && i + 3 < n && b(i + 1) == 'u' && b(i + 2) == 'l' && b(i + 3) == 'l') {
+          value = null
+          i += 4
+        } else return null // string/bool/object/array value for a LONG field
+      } else {
+        // --- skip a non-target value ---
+        if (c == '"') {
+          i += 1
+          while (i < n && b(i) != '"') { if (b(i) == '\\') i += 2 else i += 1 }
+          if (i >= n) return null
+          i += 1
+        } else if (c == '{' || c == '[') {
+          var depth = 1
+          i += 1
+          while (depth > 0) {
+            if (i >= n) return null
+            val x = b(i)
+            if (x == '"') {
+              i += 1
+              while (i < n && b(i) != '"') { if (b(i) == '\\') i += 2 else i += 1 }
+              if (i >= n) return null
+            } else if (x == '{' || x == '[') depth += 1
+            else if (x == '}' || x == ']') depth -= 1
+            i += 1
+          }
+        } else if (c == '-' || isDigit(c)) {
+          while (i < n && (isDigit(b(i)) || b(i) == '-' || b(i) == '+' ||
+            b(i) == '.' || b(i) == 'e' || b(i) == 'E')) i += 1
+        } else if (c == 't') i += 4
+        else if (c == 'f') i += 5
+        else if (c == 'n') i += 4
+        else return null
+      }
+      while (i < n && isWs(b(i))) i += 1
+      if (i >= n) return null
+      if (b(i) == ',') i += 1
+      else if (b(i) != '}') return null
+    }
+    null // unreachable
+  }
+}
+
+/** Single-key JSON integer extraction without a parser object:
+  * `json_get_long(js, 'k')` scans the UTF-8 bytes once — no Jackson
+  * parser allocation, no struct row, no string materialization — and
+  * matches `from_json(js, 'k LONG')['k']` on well-formed documents
+  * (JsonGetLongSpec pins the envelope, including absent keys,
+  * duplicate-key last-wins, overflow, and non-integer values → null).
+  * The hot-path shape for q35-style "extract one scalar from a tiny
+  * payload" pipelines, where Jackson's per-row setup dominates the
+  * actual parse (~10-byte documents); full-schema or nested extraction
+  * still goes through from_json / VARIANT.
+  */
+case class JsonGetLong(child: Expression, key: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  @transient private lazy val keyBytes =
+    key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"json_get_long requires string, got ${other.simpleString(10)}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val boxed = JsonGetLong.extract(v.asInstanceOf[UTF8String], keyBytes)
+      if (boxed == null) null else boxed.longValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyRef = ctx.addReferenceObj("jsonKey", keyBytes, "byte[]")
+    val tmp = ctx.freshName("jsonLong")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.Long $tmp = graft.functions.JsonGetLong.extract($c, $keyRef);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonGetLong =
+    copy(child = newChild)
+  override def prettyName: String = "json_get_long"
 }

@@ -69,6 +69,19 @@ object Functions {
   /** Matching DuckDB-side SQL fragment for [[dec]]. */
   def decSql(e: String): String = s"CAST($e AS DECIMAL(38,6))"
 
+  /** DuckDB-side DECIMAL→DOUBLE read-back for oracle SQL. NOT a plain
+    * `CAST(x AS DOUBLE)`: DuckDB converts decimals in two roundings
+    * (int128 unscaled → double, then ÷10^scale), which drifts 1 ULP
+    * from the correctly-rounded conversion once the unscaled value
+    * passes 2⁵³ (≈9.0e9 units at scale 6 — q03's sf1 group sums cross
+    * it). Spark's `Decimal.toDouble` is correctly rounded
+    * (BigDecimal.doubleValue), as is [[MicrosDouble]]. Routing DuckDB
+    * through VARCHAR makes its conversion single-rounded too (decimal→
+    * string is exact; strtod is correctly rounded), so both engines
+    * agree bit-for-bit at every scale factor.
+    */
+  def dblSql(e: String): String = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+
   /** Long-partial twin of the [[dec]] accumulator, for the hot grouped
     * sums: `microsDouble(sum(decMicros(c)))` is bit-identical to
     * `sum(dec(c)).cast("double")` while the SUM runs on primitive LONG

@@ -74,8 +74,8 @@ object CoreQueries {
   // ---------------------------------------------------------------------
   val q02 = Q("q02_multi_agg",
     s"""SELECT COUNT(*) AS cnt,
-       |  CAST(SUM(${decSql("l_extendedprice")}) AS DOUBLE) AS sum_price,
-       |  CAST(SUM(${decSql("l_extendedprice")}) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  CAST(CAST(SUM(${decSql("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS sum_price,
+       |  CAST(CAST(SUM(${decSql("l_extendedprice")}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
        |  MAX(l_extendedprice) AS max_price, MIN(l_extendedprice) AS min_price
        |FROM lineitem WHERE l_extendedprice > 50000""".stripMargin
   ) { (spark, dir) =>
@@ -101,13 +101,13 @@ object CoreQueries {
   // ---------------------------------------------------------------------
   val q03 = Q("q03_group_agg",
     s"""SELECT l_returnflag, l_linestatus,
-       |  CAST(SUM(${decSql("l_quantity")}) AS DOUBLE) AS sum_qty,
-       |  CAST(SUM(${decSql("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
-       |  CAST(SUM(${decSql("l_extendedprice * (1 - l_discount)")}) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM(${decSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS DOUBLE) AS sum_charge,
-       |  CAST(SUM(${decSql("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
-       |  CAST(SUM(${decSql("l_extendedprice")}) AS DOUBLE) / COUNT(*) AS avg_price,
-       |  CAST(SUM(${decSql("l_discount")}) AS DOUBLE) / COUNT(*) AS avg_disc,
+       |  CAST(CAST(SUM(${decSql("l_quantity")}) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       |  CAST(CAST(SUM(${decSql("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       |  CAST(CAST(SUM(${decSql("l_extendedprice * (1 - l_discount)")}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(SUM(${decSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       |  CAST(CAST(SUM(${decSql("l_quantity")}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(CAST(SUM(${decSql("l_extendedprice")}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  CAST(CAST(SUM(${decSql("l_discount")}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
        |  COUNT(*) AS count_order
        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
        |GROUP BY l_returnflag, l_linestatus
@@ -219,7 +219,7 @@ object CoreQueries {
   // ---------------------------------------------------------------------
   val q07 = Q("q07_explode_composite_join",
     s"""SELECT l.l_orderkey, COUNT(*) AS n_items,
-       |  CAST(SUM(g.tot) AS DOUBLE) AS sum_group_qty
+       |  CAST(CAST(SUM(g.tot) AS VARCHAR) AS DOUBLE) AS sum_group_qty
        |FROM lineitem l
        |JOIN (SELECT l_partkey, l_suppkey, SUM(${decSql("l_quantity")}) AS tot
        |      FROM lineitem GROUP BY l_partkey, l_suppkey) g
@@ -426,7 +426,7 @@ object CoreQueries {
   // ---------------------------------------------------------------------
   val q11 = Q("q11_left_join_agg",
     s"""SELECT n.n_nationkey, n.n_name, COUNT(c.c_custkey) AS n_cust,
-       |  CAST(SUM(${decSql("c.c_acctbal")}) AS DOUBLE) AS sum_bal
+       |  CAST(CAST(SUM(${decSql("c.c_acctbal")}) AS VARCHAR) AS DOUBLE) AS sum_bal
        |FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
        |GROUP BY n.n_nationkey, n.n_name ORDER BY n.n_nationkey""".stripMargin
   ) { (spark, dir) =>
@@ -484,10 +484,10 @@ object CoreQueries {
   // ---------------------------------------------------------------------
   val q14 = Q("q14_window_running",
     s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
-       |  CAST(SUM(${decSql("l_quantity")}) OVER (
+       |  CAST(CAST(SUM(${decSql("l_quantity")}) OVER (
        |    PARTITION BY l_suppkey
        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
        |FROM lineitem
        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin
   ) { (spark, dir) =>
@@ -538,7 +538,7 @@ object CoreQueries {
   private val hourNs = 3600L * 1000000000L
   val q16 = Q("q16_time_bucket",
     s"""SELECT epoch_ns(ts) - epoch_ns(ts) % $hourNs AS bucket_ns, event_type,
-       |  COUNT(*) AS cnt, CAST(SUM(${decSql("value")}) AS DOUBLE) AS sum_value
+       |  COUNT(*) AS cnt, CAST(CAST(SUM(${decSql("value")}) AS VARCHAR) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (spark, dir) =>
     // bucket on the µs-truncated axis (tsUs): a timestamp within 1 µs

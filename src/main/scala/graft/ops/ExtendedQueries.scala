@@ -49,7 +49,7 @@ object ExtendedQueries {
     s"""SELECT COALESCE(l_returnflag, '<all>') AS rflag,
        |  COALESCE(l_linestatus, '<all>') AS lstatus,
        |  COUNT(*) AS cnt,
-       |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY rflag, lstatus""".stripMargin
   ) { (spark, dir) =>
@@ -258,7 +258,7 @@ object ExtendedQueries {
        |SELECT user_id, session_seq, COUNT(*) AS n_events,
        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
        |  MAX(ts_us) - MIN(ts_us) AS duration_us,
-       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value
        |FROM sessions GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
   ) { (spark, dir) =>
@@ -292,7 +292,7 @@ object ExtendedQueries {
   val q23 = Q("q23_top_revenue",
     """SELECT l.l_orderkey,
       |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
-      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer c
       |JOIN orders o ON o.o_custkey = c.c_custkey
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -476,8 +476,8 @@ object ExtendedQueries {
     val cols = prios.map { p =>
       val key = p.split("-")(0) // stable short column suffix: 1..5
       s"""  COUNT(CASE WHEN o.o_orderpriority = '$p' THEN 1 END) AS cnt_$key,
-         |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '$p'
-         |    THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS sum_$key""".stripMargin
+         |  CAST(CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '$p'
+         |    THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 0) AS VARCHAR) AS DOUBLE) AS sum_$key""".stripMargin
     }.mkString(",\n")
     s"""SELECT c.c_nationkey,
        |$cols
@@ -523,7 +523,7 @@ object ExtendedQueries {
     """WITH agg AS (
       |  SELECT c_nationkey,
       |    CAST(COUNT(*) AS DOUBLE) AS n_customers,
-      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+      |    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_bal,
       |    MAX(c_acctbal) AS max_bal
       |  FROM customer GROUP BY c_nationkey)
       |SELECT c_nationkey, stat, value FROM (
@@ -602,7 +602,7 @@ object ExtendedQueries {
        |      WHERE value >= $spikeThreshold)
        |SELECT w.window_id, w.w_start, count(*) AS n_events,
        |  count(DISTINCT e.user_id) AS n_users,
-       |  CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value
        |FROM w JOIN ev e
        |  ON e.ts_ns >= w.w_start AND e.ts_ns < w.w_start + $windowNs
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
@@ -656,7 +656,7 @@ object ExtendedQueries {
 
   val q33 = Q("q33_bloom_semi_join",
     s"""SELECT l_returnflag, count(*) AS n_items,
-       |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+       |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
        |FROM lineitem
        |WHERE l_orderkey IN (
        |  SELECT o_orderkey FROM orders WHERE o_totalprice > $bloomPriceMin)
@@ -697,7 +697,7 @@ object ExtendedQueries {
     s"""WITH ev AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns FROM events)
        |SELECT event_id, user_id, ts_ns,
        |  COUNT(*) OVER w AS n_10m,
-       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_10m
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_10m
        |FROM ev
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
        |  RANGE BETWEEN $trailNs PRECEDING AND CURRENT ROW)
@@ -731,15 +731,18 @@ object ExtendedQueries {
       |SELECT k // 10 AS k_bucket, COUNT(*) AS n_events,
       |  COUNT(DISTINCT user_id) AS n_users,
       |  MIN(k) AS min_k, MAX(k) AS max_k,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (spark, dir) =>
     graft.functions.CustomFunctions.register(spark)
+    // json_get_long, not from_json: the payload is a ~10-byte object and
+    // Jackson's per-row machinery dominates the parse at that size (the
+    // measured sf1 gap vs DuckDB's yyjson); the codegen single-key scan
+    // matches from_json's semantics on well-formed documents
+    // (JsonGetLongSpec) and keeps extract+bucket in the scan stage.
     table(spark, dir, "events")
       .select(col("user_id"), col("value"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
-          .getField("k").as("k"))
+        call_function("json_get_long", col("props"), lit("k")).as("k"))
       .groupBy(expr("k div 10").as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"),
@@ -824,7 +827,7 @@ object ExtendedQueries {
     """SELECT COALESCE(o_orderstatus, '<all>') AS status,
       |  COALESCE(o_orderpriority, '<all>') AS priority,
       |  COUNT(*) AS cnt,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
   ) { (spark, dir) =>
@@ -870,7 +873,7 @@ object ExtendedQueries {
     s"""SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nationkey,
        |  COALESCE(c_mktsegment, '<all>') AS segment,
        |  COUNT(*) AS cnt,
-       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+       |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_bal
        |FROM $tbl GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
        |ORDER BY nationkey, segment""".stripMargin
 
@@ -1031,7 +1034,7 @@ object ExtendedQueries {
   val q41 = Q("q41_gapfill",
     s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // $hourNs AS hour, value FROM events),
        |obs AS (SELECT user_id, hour,
-       |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+       |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS v
        |  FROM ev GROUP BY 1, 2),
        |bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
        |grid AS (SELECT u.user_id, g.hour FROM (SELECT DISTINCT user_id FROM ev) u

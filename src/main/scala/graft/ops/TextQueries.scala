@@ -589,7 +589,7 @@ object TextQueries {
        |             FROM documents),
        |vocab AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1)
        |SELECT t.doc_id, count(*) AS n_toks,
-       |  CAST(SUM(CAST(v.freq AS DECIMAL(38,6))) AS DOUBLE) AS sum_tok_freq,
+       |  CAST(CAST(SUM(CAST(v.freq AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_tok_freq,
        |  CAST(SUM(CASE WHEN v.freq <= $rareFreqMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
        |FROM toks t JOIN vocab v ON t.tok = v.tok
        |GROUP BY 1 ORDER BY 1""".stripMargin
