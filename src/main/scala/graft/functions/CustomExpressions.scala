@@ -1200,6 +1200,30 @@ object DecimalMicros {
     */
   def microsOrNull(d: Double): java.lang.Long = {
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+    // Allocation-free fast path for the per-row hot loop: d*1e6 differs
+    // from the shortest-repr value the cast rounds by ≲1.5 ULP, so when
+    // its fractional part sits farther than 4 ULP from the .5 rounding
+    // boundary, nearest-integer of the product IS the cast's HALF_UP
+    // result (any tie rule agrees off the tie; near-integer fractions
+    // round to the same integer from either side). Within the margin —
+    // P ≈ 1e-15 per row — and wherever 4 ULP ≥ 0.25 (|d| ≳ 2.8e8, where
+    // the margin test loses meaning), fall back to the exact BigDecimal
+    // construction. DecimalSumSpec pins fast == exact on real columns;
+    // ExpressionPropertiesSpec sweeps crafted boundary values.
+    val p = d * 1e6
+    if (java.lang.Math.abs(p) < 4.5e15) {
+      val f = p - java.lang.Math.floor(p)
+      val margin = 4.0 * java.lang.Math.ulp(p)
+      if (margin < 0.25 && java.lang.Math.abs(f - 0.5) > margin)
+        return java.lang.Long.valueOf(java.lang.Math.rint(p).toLong)
+    }
+    microsViaBigDecimal(d)
+  }
+
+  /** The exact two-step construction the fast path must replicate —
+    * kept separate so specs can drive both sides on crafted inputs.
+    */
+  private[graft] def microsViaBigDecimal(d: Double): java.lang.Long = {
     val bd = java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP)
     try java.lang.Long.valueOf(bd.unscaledValue().longValueExact())

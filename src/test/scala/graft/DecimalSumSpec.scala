@@ -46,6 +46,37 @@ class DecimalSumSpec extends SparkSpec {
     }
   }
 
+  test("fast path equals the BigDecimal construction on ties, near-ties and random doubles") {
+    // the rint fast path must be indistinguishable from the two-step
+    // BigDecimal construction everywhere; ties and near-boundary values
+    // are routed to the exact path by the 4-ULP margin — sweep a dense
+    // grid of exact .5-micro ties, offsets a few ULP either side, the
+    // fast-path cutoff region, and seeded random magnitudes
+    val rnd = new scala.util.Random(42)
+    val crafted = Seq.newBuilder[Double]
+    (0 until 2000).foreach { i =>
+      val tie = (i * 2 + 1) * 5e-7 // x.5 micro ties: 0.0000005, 0.0000015, ...
+      crafted += tie += -tie
+      crafted += Math.nextUp(tie) += Math.nextDown(tie)
+      crafted += Math.nextUp(Math.nextUp(tie)) += Math.nextDown(Math.nextDown(tie))
+    }
+    (0 until 2000).foreach { _ =>
+      val mag = math.pow(10, rnd.nextDouble() * 19 - 7) // 1e-7 .. 1e12
+      val v = (rnd.nextDouble() * 2 - 1) * mag
+      crafted += v
+      val tie = Math.floor(v * 1e6) / 1e6 + 5e-7
+      crafted += tie += Math.nextUp(tie) += Math.nextDown(tie)
+    }
+    // the |p| ~ 4.5e15 fast-path cutoff and the margin>=0.25 guard region
+    Seq(4.4e9, 4.5e9, 4.6e9, 2.8e8, 2.9e8, 9.19e12, 9.2e12).foreach { m =>
+      crafted += m += -m += Math.nextUp(m) += Math.nextDown(m)
+    }
+    crafted.result().foreach { d =>
+      assert(Option(DecimalMicros.microsOrNull(d)).map(_.longValue()) == castUnscaled(d),
+        s"input ${java.lang.Double.toHexString(d)} ($d)")
+    }
+  }
+
   test("decimal_micros returns null exactly where the cast overflows or is non-finite") {
     Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
       9.3e12, -9.3e12, 1e30).foreach { d =>
