@@ -34,7 +34,13 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       fn(spark, dir).write.mode("overwrite").format("noop").save()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // Optional subset for A/B profiling: SPARK_GRAFT_ONLY="q31,q10"
+    // restricts the suite (warmup + timed passes) to the named queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    selected.foreach { case (_, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
     // Build every query's Dataset ONCE before the timed passes: the
@@ -50,7 +56,7 @@ object Bench {
     // actions (k-means, PQ codebooks) fire here too, untimed — same
     // steady state the old protocol reached by pass 2, since the memos
     // are per (session, dir) and min-of-3 already rejected pass 1.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try fn(spark, sfDir) catch { case _: Throwable => null })
     }
     // best-of-3 per query, INTERLEAVED (three full passes over the

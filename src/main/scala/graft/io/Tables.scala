@@ -39,6 +39,41 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** CPU-dense scan fan-out. Parquet scan parallelism is capped by
+    * row-group granularity: a single-row-group file is ONE task no
+    * matter how many cores the cluster has, and the testdata tables are
+    * written as one row group per file — so every operator between the
+    * scan and its first exchange (tokenization, regex redaction,
+    * hashing, media decode, per-vector arithmetic) would run
+    * single-threaded. This helper rebalances such scans to the
+    * session's full parallelism with one narrow-row round-robin
+    * shuffle, and only when the input is too small for the scan to
+    * reach full width on its own (bytes < parallelism ×
+    * maxPartitionBytes): at 100 TB the condition is false, the call is
+    * an identity, and no corpus-wide shuffle is ever added — the
+    * production scan already yields thousands of splits.
+    */
+  def tableFan(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val par = spark.sparkContext.defaultParallelism
+    val bytes =
+      try new java.io.File(s"$sfDir/$name.parquet").length()
+      catch { case _: Throwable => Long.MaxValue }
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    // Lower bound: under a few compressed MB the whole table is one
+    // task-cache-resident block and the rebalance's extra stage costs
+    // more than the map work it parallelizes (measured at sf0.1:
+    // +0.1-0.5 s per query for zero win). Between the bounds the input
+    // is big enough for single-task decode+compute to dominate but too
+    // small for the scan to split — exactly the regime the rebalance
+    // exists for.
+    val minFan = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.graft.fanout.minBytes", "4MB"))
+    if (bytes >= minFan && bytes < par.toLong * maxSplit) df.repartition(par)
+    else df
+  }
+
   /** S1 — glob scan across partition directories (Spark globs natively). */
   def glob(spark: SparkSession, pattern: String): DataFrame =
     spark.read.parquet(pattern)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.io.Tables.table
+import graft.io.Tables.{table, tableFan}
 import graft.functions.CustomFunctions
 
 /** Deduplication operator family over the `documents` table — the
@@ -61,7 +61,7 @@ object DedupQueries {
 
   def sharedGrams(spark: SparkSession, dir: String): DataFrame =
     gramsMemo.getOrElseUpdate((spark, dir),
-      wordTrigrams(table(spark, dir, "documents")).cache())
+      wordTrigrams(tableFan(spark, dir, "documents")).cache())
 
   /** The per-doc shingle SET as one sorted array row — the compact form
     * candidate verification joins against (one row per doc instead of
@@ -586,7 +586,7 @@ object DedupQueries {
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val k = passageLen
-    val chunks = table(spark, dir, "documents")
+    val chunks = tableFan(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.functions.Functions.{decMicros, microsDouble}
-import graft.io.Tables.table
+import graft.io.Tables.{table, tableFan}
 
 /** Operators the reference does NOT use (SURVEY.md §2.3/§2.4/§2.7
   * "not present" rows) but a complete engine must offer — each
@@ -620,14 +620,26 @@ object ExtendedQueries {
     // (~1.7e18) is beyond double's exact range.
     val wb = windows.withColumn("bucket",
       explode(array(expr(s"w_start div $windowNs"), expr(s"w_start div $windowNs") + 1)))
-    val eb = ev.withColumn("bucket", expr(s"ts_ns div $windowNs"))
+    // The probe side fans out before the broadcast join: candidate
+    // expansion (~3.4 pairs/event at sf1) plus the aggregate's partial
+    // phase is the expensive part, and it runs pre-shuffle — on a
+    // single-row-group file that is one core without the rebalance.
+    val eb = tableFan(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        tsUs(col("ts")).as("ts_ns"))
+      .withColumn("bucket", expr(s"ts_ns div $windowNs"))
+    // COUNT(DISTINCT user_id) alongside plain aggregates makes Catalyst
+    // Expand every joined row into two projections; aggregating
+    // (window, user) first, then the window, computes the identical
+    // result with the pairs passing the hash aggregate exactly once.
     eb.join(broadcast(wb), Seq("bucket"))
       .filter(col("ts_ns") >= col("w_start") &&
         col("ts_ns") < col("w_start") + windowNs)
+      .groupBy("window_id", "w_start", "user_id")
+      .agg(count(lit(1)).as("cnt"), sum(decMicros(col("value"))).as("s"))
       .groupBy("window_id", "w_start")
-      .agg(count(lit(1)).as("n_events"),
-        count_distinct(col("user_id")).as("n_users"),
-        microsDouble(sum(decMicros(col("value")))).as("sum_value"))
+      .agg(sum("cnt").as("n_events"), count(lit(1)).as("n_users"),
+        microsDouble(sum("s")).as("sum_value"))
       .orderBy("window_id")
   }
 

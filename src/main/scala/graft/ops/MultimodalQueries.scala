@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.io.Tables.table
+import graft.io.Tables.{table, tableFan}
 
 /** Input row for the media pipeline: an opaque binary payload keyed by
   * doc_id — the carrier shape for image/audio/video bytes at scale.
@@ -71,7 +71,7 @@ object MultimodalQueries {
       |FROM dec ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     import spark.implicits._
-    val decoded = table(spark, dir, "documents")
+    val decoded = tableFan(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaIn]
       .mapPartitions { it =>
@@ -113,7 +113,7 @@ object MultimodalQueries {
     // octet_length(encode(text)) — length() counts CHARACTERS and
     // diverges on any multi-byte text (the payload is bytes, so byte
     // count is also the semantically right "media size")
-    table(spark, dir, "documents")
+    tableFan(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         (lit(1) + octet_length(col("text")).cast("long") % 8).as("n_frames"))
       .select(col("doc_id"), col("text"),
@@ -152,7 +152,7 @@ object MultimodalQueries {
       |SELECT media_sig, min(doc_id) AS keep_doc_id, count(*) AS n_copies
       |FROM sigs GROUP BY media_sig ORDER BY media_sig""".stripMargin
   ) { (spark, dir) =>
-    val frames = table(spark, dir, "documents")
+    val frames = tableFan(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         (lit(1) + octet_length(col("text")).cast("long") % 8).as("n_frames"))
       .select(col("doc_id"), col("text"),

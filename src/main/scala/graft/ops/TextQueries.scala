@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.io.Tables.table
+import graft.io.Tables.{table, tableFan}
 import graft.functions.CustomFunctions
 
 /** Text-analysis operator family over the `documents` table — the
@@ -30,7 +30,7 @@ object TextQueries {
 
   def sharedToks(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     toksMemo.getOrElseUpdate((spark, dir),
-      table(spark, dir, "documents")
+      tableFan(spark, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .cache())
 
@@ -93,7 +93,7 @@ object TextQueries {
   }) { (spark, dir) =>
     CustomFunctions.register(spark)
     val langs = langProfiles.map(_._1)
-    val withScores = table(spark, dir, "documents")
+    val withScores = tableFan(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
       .select(Seq(col("doc_id"), col("lang")) ++ langProfiles.map {
         case (l, ws) => markerRatio(col("w"), ws).as(s"score_$l")
@@ -147,7 +147,7 @@ object TextQueries {
        |FROM toks ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
-    val df = table(spark, dir, "documents")
+    val df = tableFan(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"),
         length(col("text")).cast("long").as("n"))
     val nTok = size(col("w"))
@@ -175,7 +175,7 @@ object TextQueries {
        |  len(regexp_extract_all(text, '$tokRe')) AS re_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
-    table(spark, dir, "documents")
+    tableFan(spark, dir, "documents")
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit(tokRe), lit(0))).cast("long")
@@ -207,7 +207,7 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
-    val docs = table(spark, dir, "documents")
+    val docs = tableFan(spark, dir, "documents")
     val gramFp = DedupQueries.sharedGrams(spark, dir)
       .groupBy("doc_id")
       .agg(min(call_function("rolling_hash", col("g"))).as("min_gram_fp"),
@@ -457,7 +457,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    table(spark, dir, "documents")
+    tableFan(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("tokens"))
       .withColumn("cum", sum("tokens").over(w))
@@ -690,7 +690,7 @@ object TextQueries {
     // composed form shuffles every bigram string in the corpus to
     // compute these same three numbers.
     val frac = col("top_cnt").cast("double") / col("n_bigrams")
-    table(spark, dir, "documents")
+    tableFan(spark, dir, "documents")
       .select(col("doc_id"),
         call_function("ngram_stats", split(col("text"), " "), lit(2)).as("st"))
       .select(col("doc_id"), col("st.n_ngrams").as("n_bigrams"),
@@ -744,7 +744,7 @@ object TextQueries {
     val counts = piiPatterns.map { case (tag, pat, _) =>
       regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$tag")
     }
-    table(spark, dir, "documents")
+    tableFan(spark, dir, "documents")
       .select(Seq(col("doc_id")) ++ counts :+ redacted.as("redacted"): _*)
       .orderBy("doc_id")
   }
@@ -781,7 +781,7 @@ object TextQueries {
     // instance-explode + COUNT(DISTINCT doc_id) form needs Spark's
     // two-phase distinct aggregate over every bigram instance to
     // establish a distinctness that is already true row-locally.
-    table(spark, dir, "documents")
+    tableFan(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), call_function("ngram_counts", col("w"), lit(2)))
       .groupBy(col("ngram").as("bigram"))
@@ -816,7 +816,7 @@ object TextQueries {
        |ORDER BY source, rk""".stripMargin
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
-    table(spark, dir, "documents")
+    tableFan(spark, dir, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("source"), qualityExpr(col("w")).as("quality"))
       .groupBy("source")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.io.Tables.table
+import graft.io.Tables.{table, tableFan}
 import graft.functions.CustomFunctions
 
 /** Embedding-similarity operator family over the `embeddings` table
@@ -51,7 +51,7 @@ object VectorQueries {
     */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {
     CustomFunctions.register(spark)
-    table(spark, dir, "embeddings")
+    tableFan(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
