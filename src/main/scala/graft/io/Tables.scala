@@ -29,14 +29,30 @@ object Tables {
 
   /** Read one testdata table: `<sfDir>/<name>.parquet`.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot infer
-    * unless `nanosAsLong` is on — set it here, at the read site, so any
-    * access path (queries, views, tests) works regardless of call order.
+    * `events.ts` has shipped under two physical encodings: parquet
+    * TIMESTAMP(NANOS), which Spark 4 can only read as a raw int64
+    * (`nanosAsLong` — set here, at the read site, so any access path
+    * works regardless of call order), and TIMESTAMP(MICROS), which
+    * reads as a timestamp. Both are normalized HERE to one engine axis
+    * — long nanoseconds-since-epoch — so every downstream consumer
+    * (queries, as-of join keys, window buckets) sees a single type,
+    * and the DuckDB oracle's `epoch_ns(ts)` mirrors it exactly under
+    * either encoding. The µs→ns widening is a cheap codegen'd
+    * multiply; sessions pin UTC so the NTZ reinterpretation is
+    * instant-exact.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df
+        case _ =>
+          df.withColumn("ts", org.apache.spark.sql.functions.unix_micros(
+            df.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            * org.apache.spark.sql.functions.lit(1000L))
+      }
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** CPU-dense scan fan-out. Parquet scan parallelism is capped by

@@ -31,12 +31,12 @@ object CoreQueries {
       case _ => to_timestamp(lit(ts))
     }
 
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-    * timestamp, so we read it as raw int64 nanoseconds-since-epoch
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set in Tables.table) and
-    * the oracle mirrors via DuckDB `epoch_ns(ts)`. At 100 TB the
-    * event-time axis being a plain long is also the cheapest possible
-    * sort/partition key.
+  /** events.ts reads as int64 nanoseconds-since-epoch — Tables.table
+    * normalizes both physical encodings the generator has shipped
+    * (TIMESTAMP(NANOS) via `nanosAsLong`, TIMESTAMP(MICROS) via a
+    * µs→ns widening) to that one axis; the oracle mirrors via DuckDB
+    * `epoch_ns(ts)`. At 100 TB the event-time axis being a plain long
+    * is also the cheapest possible sort/partition key.
     */
   private def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
