@@ -329,18 +329,30 @@ object ExtendedQueries {
 
   // ---------------------------------------------------------------------
   // q24 — grouped exact quantiles (§2.4: no quantile support in the
-  // reference): p50/p90/p99 of order totals per priority class, computed
-  // by ORDERED SELECTION — rank every row once (one window shuffle,
-  // shared by row_number and the group count), then pick the
-  // ⌈p·n⌉-th smallest (lower discrete quantile, deterministic
-  // tiebreak). No quantile UDAF needed, and the selected values are
-  // EXISTING data values (no interpolation arithmetic) so Spark and
-  // DuckDB agree bit-for-bit. Scale honesty: the window partitions by a
-  // LOW-cardinality key (5 priority classes), so each group's sort is
-  // one task — exact ordered selection is for many-groups/modest-group
-  // cases; with few huge groups the sketch path (approx_percentile,
-  // t-digest — error-bounded vs this exact answer in ExtendedSpec)
-  // takes over at 100 TB.
+  // reference): p50/p90/p99 of order totals per priority class, the
+  // ⌈p·n⌉-th smallest per group (lower discrete quantile). The naive
+  // form — rank every row in a window partitioned by the GROUP key —
+  // hash-shuffles the whole table to 5 tasks (one per priority class)
+  // no matter how wide the cluster is; this body distributes the
+  // selection instead:
+  //   1. one tiny per-group aggregate (exact row count + B-1
+  //      approximate range boundaries) collected at plan construction —
+  //      5 rows, the trained-constant pattern of s03/s04. Boundary
+  //      accuracy affects only load balance, NEVER the answer.
+  //   2. a map-side bucket tag from the boundary literals, then ≤ G·B
+  //      bucket counts + a cumulative sum over that tiny relation
+  //      locate, for each target rank, the bucket holding it and the
+  //      rank's offset inside the bucket.
+  //   3. only the ≤ G·P target buckets' rows (≈ P/B of the table)
+  //      reach a window partitioned by (group, percentile) — G·P-way
+  //      parallel, ~n/(G·B) rows per task.
+  // The selected values are EXISTING data values (no interpolation
+  // arithmetic) so Spark and DuckDB agree bit-for-bit, and any
+  // boundary placement yields the same value (ties share a bucket; the
+  // rank offset is exact). At 100 TB: B scales with cluster width, the
+  // full-data stages are a map-side tag, a combiner-friendly count,
+  // and a P/B-selectivity filter — no group-cardinality parallelism
+  // cap anywhere.
   // ---------------------------------------------------------------------
   val q24 = Q("q24_group_quantiles",
     """WITH ranked AS (
@@ -356,17 +368,45 @@ object ExtendedQueries {
       |ORDER BY o_orderpriority, p""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val byPrio = Window.partitionBy("o_orderpriority")
-    val ranked = table(spark, dir, "orders")
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    import spark.implicits._
+    val ps = Seq(0.5, 0.9, 0.99)
+    val nBuckets = 32
+    def rows = table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"),
+        col("o_orderkey").as("k"))
+    // (1) 5-row bounded collect: exact n + range boundaries per group.
+    val stats = rows.groupBy("g").agg(count(lit(1)).as("n"),
+        percentile_approx(col("v"),
+          typedLit((1 until nBuckets).map(_.toDouble / nBuckets)),
+          lit(10000)).as("bnds"))
+      .collect()
+    val targetDf = stats.flatMap { r =>
+      val g = r.getString(0); val n = r.getLong(1)
+      ps.map(p => (g, p, math.ceil(p * n).toLong))
+    }.toSeq.toDF("g", "p", "r")
+    // Boundaries inline as ONE literal map so both bucket-tag sites
+    // compute the identical assignment (a recomputed sketch could
+    // legally place boundaries differently between branches).
+    val bndsMap = map_from_arrays(
+      typedLit(stats.map(_.getString(0)).toSeq),
+      typedLit(stats.map(_.getSeq[Double](2)).toSeq))
+    def withBucket(df: DataFrame): DataFrame = df.withColumn("b",
+      aggregate(element_at(bndsMap, col("g")), lit(0),
+        (acc, x) => acc + when(x <= col("v"), 1).otherwise(0)))
+    // (2) locate each target rank: bucket counts → running total →
+    // the bucket where cum_prev < r ≤ cum, offset r - cum_prev.
+    val loc = withBucket(rows).groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("g").orderBy("b")))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+      .join(targetDf, Seq("g"))
+      .filter(col("cum_prev") < col("r") && col("r") <= col("cum"))
+      .select(col("g"), col("b"), col("p"), (col("r") - col("cum_prev")).as("lr"))
+    // (3) rank only the target buckets, G·P-way parallel.
+    withBucket(rows).join(broadcast(loc), Seq("g", "b"))
       .withColumn("rn",
-        row_number().over(byPrio.orderBy("o_totalprice", "o_orderkey")))
-      .withColumn("n", count(lit(1)).over(byPrio))
-    ranked
-      .crossJoin(spark.range(1).select(
-        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p")))
-      .filter(col("rn") === ceil(col("p") * col("n")).cast("long"))
-      .select(col("o_orderpriority"), col("p"), col("o_totalprice").as("value"))
+        row_number().over(Window.partitionBy("g", "p").orderBy("v", "k")))
+      .filter(col("rn") === col("lr"))
+      .select(col("g").as("o_orderpriority"), col("p"), col("v").as("value"))
       .orderBy("o_orderpriority", "p")
   }
 

@@ -87,6 +87,25 @@ class ExtendedSpec extends SparkSpec {
     assert(hits * 2 >= exactTop.size, s"recall@1 too low: $hits/${exactTop.size}")
   }
 
+  test("q24 distributed selection equals the rank-everything window form") {
+    import org.apache.spark.sql.expressions.Window
+    val byPrio = Window.partitionBy("o_orderpriority")
+    val naive = graft.io.Tables.table(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn",
+        row_number().over(byPrio.orderBy("o_totalprice", "o_orderkey")))
+      .withColumn("n", count(lit(1)).over(byPrio))
+      .crossJoin(spark.range(1).select(
+        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p")))
+      .filter(col("rn") === ceil(col("p") * col("n")).cast("long"))
+      .select(col("o_orderpriority"), col("p"), col("o_totalprice").as("value"))
+      .orderBy("o_orderpriority", "p")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val dist = ExtendedQueries.q24.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(dist.toSeq === naive.toSeq)
+  }
+
   test("q24 exact selection quantiles bracket approx_percentile's sketch answers") {
     val exact = ExtendedQueries.q24.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap

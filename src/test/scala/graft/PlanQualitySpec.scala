@@ -23,7 +23,6 @@ class PlanQualitySpec extends SparkSpec {
     // carries its broadcast brute-force self-check column — the only
     // sanctioned nested-loop shapes
     val allowedNestedLoop = Set("s01_ann_brute_topk", "d04_dedup_simhash",
-      "q24_group_quantiles", // q24: 3-row literal quantile list cross join
       "s04_ann_pq_adc", // ADC scan: broadcast bounded query batch, like s01
       "s05_mmr_diversify", // pool stage reuses s01's broadcast shortlist shape
       "q41_gapfill") // grid = users × broadcast 1-row (minHour, maxHour) bounds
