@@ -335,24 +335,27 @@ object ExtendedQueries {
   // hash-shuffles the whole table to 5 tasks (one per priority class)
   // no matter how wide the cluster is; this body distributes the
   // selection instead:
-  //   1. one tiny per-group aggregate (exact row count + B-1
-  //      approximate range boundaries) collected at plan construction —
-  //      5 rows, the trained-constant pattern of s03/s04. Boundary
-  //      accuracy affects only load balance, NEVER the answer.
-  //   2. a map-side bucket tag from the boundary literals, then ≤ G·B
-  //      bucket counts + a cumulative sum over that tiny relation
-  //      locate, for each target rank, the bucket holding it and the
-  //      rank's offset inside the bucket.
-  //   3. only the ≤ G·P target buckets' rows (≈ P/B of the table)
-  //      reach a window partitioned by (group, percentile) — G·P-way
-  //      parallel, ~n/(G·B) rows per task.
+  //   1. one tiny per-group aggregate (exact row count + exact global
+  //      value min/max) collected at plan construction — 5 rows, the
+  //      trained-constant pattern of s03/s04.
+  //   2. a map-side `width_bucket` tag from the min/max literals
+  //      (codegen'd, deterministic — a sketch-based boundary could
+  //      legally differ between recomputations), then ≤ G·B bucket
+  //      counts + a cumulative sum over that tiny relation locate, for
+  //      each target rank, the bucket holding it and the rank's offset
+  //      inside the bucket.
+  //   3. only the ≤ G·P target buckets' rows reach a window partitioned
+  //      by (group, percentile) — G·P-way parallel.
   // The selected values are EXISTING data values (no interpolation
   // arithmetic) so Spark and DuckDB agree bit-for-bit, and any
-  // boundary placement yields the same value (ties share a bucket; the
-  // rank offset is exact). At 100 TB: B scales with cluster width, the
-  // full-data stages are a map-side tag, a combiner-friendly count,
-  // and a P/B-selectivity filter — no group-cardinality parallelism
-  // cap anywhere.
+  // monotone bucket placement yields the same value (ties share a
+  // bucket; the rank offset is exact) — uniform-width buckets only
+  // affect balance, and B=256 keeps the worst target bucket small for
+  // anything short of a point-mass distribution (which would need a
+  // recursive second split). At 100 TB: B scales with cluster width,
+  // the full-data stages are a map-side tag, a combiner-friendly
+  // count, and a ~P/B-selectivity filter — no group-cardinality
+  // parallelism cap anywhere.
   // ---------------------------------------------------------------------
   val q24 = Q("q24_group_quantiles",
     """WITH ranked AS (
@@ -370,29 +373,26 @@ object ExtendedQueries {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val ps = Seq(0.5, 0.9, 0.99)
-    val nBuckets = 32
+    val nBuckets = 256
     def rows = table(spark, dir, "orders")
       .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"),
         col("o_orderkey").as("k"))
-    // (1) 5-row bounded collect: exact n + range boundaries per group.
+    // (1) 5-row bounded collect: exact per-group n + global value range.
     val stats = rows.groupBy("g").agg(count(lit(1)).as("n"),
-        percentile_approx(col("v"),
-          typedLit((1 until nBuckets).map(_.toDouble / nBuckets)),
-          lit(10000)).as("bnds"))
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
       .collect()
     val targetDf = stats.flatMap { r =>
       val g = r.getString(0); val n = r.getLong(1)
       ps.map(p => (g, p, math.ceil(p * n).toLong))
     }.toSeq.toDF("g", "p", "r")
-    // Boundaries inline as ONE literal map so both bucket-tag sites
-    // compute the identical assignment (a recomputed sketch could
-    // legally place boundaries differently between branches).
-    val bndsMap = map_from_arrays(
-      typedLit(stats.map(_.getString(0)).toSeq),
-      typedLit(stats.map(_.getSeq[Double](2)).toSeq))
+    val (vLo, vHi) = (stats.map(_.getDouble(2)).min, stats.map(_.getDouble(3)).max)
+    // Range inlines as literals so both bucket-tag sites compute the
+    // identical assignment; width_bucket stays inside whole-stage
+    // codegen (a fold over a boundary array would be an interpreted
+    // higher-order function on every row).
     def withBucket(df: DataFrame): DataFrame = df.withColumn("b",
-      aggregate(element_at(bndsMap, col("g")), lit(0),
-        (acc, x) => acc + when(x <= col("v"), 1).otherwise(0)))
+      if (vLo < vHi) width_bucket(col("v"), lit(vLo), lit(vHi), lit(nBuckets))
+      else lit(1L)) // degenerate range: every value in one bucket
     // (2) locate each target rank: bucket counts → running total →
     // the bucket where cum_prev < r ≤ cum, offset r - cum_prev.
     val loc = withBucket(rows).groupBy("g", "b").agg(count(lit(1)).as("cnt"))
