@@ -60,14 +60,18 @@ object Bench {
     val ordered = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try fn(spark, sfDir) catch { case _: Throwable => null })
     }
-    // best-of-3 per query, INTERLEAVED (three full passes over the
-    // suite rather than three back-to-back runs per query): this host
+    // best-of-N per query, INTERLEAVED (N full passes over the
+    // suite rather than N back-to-back runs per query): this host
     // shows bursty multi-second contention windows from co-tenants, and
     // consecutive runs all land inside the same burst — spreading a
     // query's runs minutes apart lets the min reject bursts instead of
-    // averaging them in
+    // averaging them in. Default 5 passes: measured same-code variance
+    // on contended days reaches 3-6× per query, and two extra passes
+    // (~1 min at sf0.1) reject far more of it than they cost.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(5)
     val best = scala.collection.mutable.Map.empty[String, Double]
-    (1 to 3).foreach { _ =>
+    (1 to passes).foreach { _ =>
       ordered.foreach { case (name, df) =>
         val t0 = System.nanoTime()
         try {
