@@ -374,18 +374,18 @@ object CoreQueries {
       .select(col("l_orderkey").as("tx_id"), col("l_linenumber").as("output_index"),
         concat(lit("S"), col("l_suppkey").cast("string")).as("address"))
 
-    // J1: txs that created token outputs (semi join — small distinct key set)
+    // J1: txs that created token outputs (semi join — small distinct key
+    // set). o_custkey rides along so the window-input pruning below needs
+    // no second orders scan+join to recover it.
     val relevant = orders
       .join(tu.select("tx_id").distinct(), col("o_orderkey") === col("tx_id"), "left_semi")
-      .select("o_orderkey", "o_totalprice")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
 
     // each order's "inputs": outpoints of the same customer's previous
     // order. The lag window only needs customers that have at least one
     // relevant order — pruning its input before the window shuffle (the
     // orders of everyone else can never produce a surviving row).
-    val relevantCust = orders
-      .join(relevant.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
-      .select("o_custkey").distinct()
+    val relevantCust = relevant.select("o_custkey").distinct()
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     val prev = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(relevantCust, Seq("o_custkey"), "left_semi")
@@ -398,21 +398,34 @@ object CoreQueries {
     // rows, and collect_set is multiplicity-blind, so joining tu
     // directly ≡ the oracle's explicit lineitem outpoint enumeration —
     // minus one groupBy and one explode-join (two shuffles).
-    val inAddr = prev
+    //
+    // The consumed and produced sides aggregate over the SAME key domain
+    // (o_orderkey), so instead of two groupBys + two left joins, a
+    // side-tagged union feeds ONE groupBy whose conditional collect_sets
+    // compute both address sets in a single shuffle. collect_set drops
+    // the NULLs the off-side rows contribute. Equivalence to the
+    // two-join form: out_addrs is never NULL or '' for a relevant order
+    // (every relevant o_orderkey has ≥1 tu row by construction), so
+    // in_addrs='' (empty set) filters and renders identically to the
+    // old NULL — the IS DISTINCT FROM and the final coalesce('') agree
+    // on every row.
+    val inRows = prev
       .join(relevant.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
       .join(tu, tu("tx_id") === col("prev_ok"))
+      .select(col("o_orderkey"), col("address"), lit(true).as("is_in"))
+    val outRows = tu.select(col("tx_id").as("o_orderkey"), col("address"),
+      lit(false).as("is_in"))
+    val addrs = inRows.union(outRows)
       .groupBy("o_orderkey")
-      .agg(array_join(sort_array(collect_set(col("address"))), ",").as("in_addrs"))
+      .agg(
+        array_join(sort_array(collect_set(when(col("is_in"), col("address")))), ",")
+          .as("in_addrs"),
+        array_join(sort_array(collect_set(when(!col("is_in"), col("address")))), ",")
+          .as("out_addrs"))
 
-    // A3 over the produced side
-    val outAddr = tu.groupBy("tx_id")
-      .agg(array_join(sort_array(collect_set(col("address"))), ",").as("out_addrs"))
-      .withColumnRenamed("tx_id", "o_orderkey")
-
-    // J3 ×2 + P5 + O2
+    // J3 + P5 + O2 (single join: both address sets arrive together)
     relevant
-      .join(inAddr, Seq("o_orderkey"), "left")
-      .join(outAddr, Seq("o_orderkey"), "left")
+      .join(addrs, Seq("o_orderkey"), "left")
       .filter(!(col("in_addrs") <=> col("out_addrs")))
       .select(col("o_orderkey"), col("o_totalprice"),
         coalesce(col("in_addrs"), lit("")).as("in_addrs"),
