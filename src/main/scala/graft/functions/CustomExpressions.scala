@@ -723,6 +723,332 @@ case class NGramStats(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "ngram_stats"
 }
 
+object TokenStats {
+  /** SQL/call_function builder: `token_stats(text)`. */
+  def fromExprs(exprs: Seq[Expression]): TokenStats = {
+    require(exprs.length == 1, "token_stats(text) takes 1 argument")
+    TokenStats(exprs.head)
+  }
+
+  /** One pass over the UTF-8 bytes: whitespace-split token count
+    * (`size(split(text, ' '))` = space count + 1 — split with an
+    * unbounded limit keeps trailing empties, so the identity is exact,
+    * empty string included) and the BPE-ish token count
+    * (`size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))`):
+    * leftmost-first alternation over maximal runs means one match per
+    * maximal lowercase-alpha run, one per maximal digit run, one per
+    * OTHER CODEPOINT — counted at its UTF-8 lead byte (continuation
+    * bytes skip, mirroring both engines' per-codepoint classes).
+    * Counting without materializing the match array is the point: the
+    * regexp_extract_all form allocates every token string to take a
+    * length.
+    */
+  def compute(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var spaces = 0L
+    var re = 0L
+    // 0 = none/other, 1 = in [a-z] run, 2 = in [0-9] run
+    var state = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == ' ') { spaces += 1; state = 0 }
+      else if (c >= 'a' && c <= 'z') {
+        if (state != 1) { re += 1; state = 1 }
+      } else if (c >= '0' && c <= '9') {
+        if (state != 2) { re += 1; state = 2 }
+      } else if ((c & 0xC0) != 0x80) { // any other codepoint's lead byte
+        re += 1; state = 0
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](spaces + 1, re))
+  }
+}
+
+/** Single-pass token-budget estimators: `token_stats(text)` returns
+  * `struct(ws_tokens, re_tokens)` — the whitespace-split count and the
+  * BPE-ish regex token count ([[TokenStats.compute]] pins both
+  * identities) — without running a regex engine or materializing a
+  * match array. The t03 hot path: the builtin form allocates every
+  * matched token into an array per row just to measure its size; this
+  * is an allocation-free byte scan called from generated code, so the
+  * token-counting pass over a corpus stays memory-bandwidth-bound.
+  */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = new StructType()
+    .add("ws_tokens", LongType, nullable = false)
+    .add("re_tokens", LongType, nullable = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_stats requires string, got ${other.simpleString(10)}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenStats$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+  override def prettyName: String = "token_stats"
+}
+
+object WordRedact {
+  /** SQL/call_function builder:
+    * `word_redact(text, array(patterns...), array(replacements...))`
+    * with foldable same-length string arrays (literal-validated at
+    * analysis, the TopCells posture).
+    */
+  def fromExprs(exprs: Seq[Expression]): WordRedact = {
+    require(exprs.length == 3,
+      "word_redact(text, patterns, replacements) takes 3 arguments")
+    def lits(e: Expression, what: String): Seq[String] = {
+      require(e.foldable && e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType == StringType,
+        s"word_redact $what must be a foldable array<string>")
+      val v = e.eval()
+      require(v != null, s"word_redact $what must not be NULL")
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until arr.numElements()).map { i =>
+        require(!arr.isNullAt(i), s"word_redact $what elements must not be NULL")
+        arr.getUTF8String(i).toString
+      }
+    }
+    val pats = lits(exprs(1), "patterns")
+    val repls = lits(exprs(2), "replacements")
+    require(pats.nonEmpty, "word_redact needs at least one pattern")
+    require(pats.length == repls.length,
+      s"word_redact patterns (${pats.length}) and replacements (${repls.length}) must align")
+    WordRedact(exprs.head, pats, repls)
+  }
+
+  private def isWordByte(c: Byte): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Parse the restricted registry grammar `\bword\b` /
+    * `\b(w1|w2|...)\b` (plain or non-capturing group, alternatives of
+    * ASCII word chars). Within it, a match of the Java/RE2 pattern is
+    * EXACTLY a maximal word-char run equal to one alternative: every
+    * alternative is all word chars, so both `\b`s can only sit at run
+    * edges — which reduces the regex to run tokenization + set
+    * membership, no engine and no backtracking. Anything outside the
+    * grammar → None → the compiled-regex fallback path.
+    */
+  private[graft] def parseWords(pattern: String): Option[Array[Array[Byte]]] = {
+    if (!pattern.startsWith("\\b") || !pattern.endsWith("\\b")) return None
+    var core = pattern.substring(2, pattern.length - 2)
+    if (core.startsWith("(?:") && core.endsWith(")"))
+      core = core.substring(3, core.length - 1)
+    else if (core.startsWith("(") && core.endsWith(")"))
+      core = core.substring(1, core.length - 1)
+    if (core.isEmpty) return None
+    val alts = core.split("\\|", -1)
+    val words = new Array[Array[Byte]](alts.length)
+    var i = 0
+    while (i < alts.length) {
+      val a = alts(i)
+      if (a.isEmpty) return None
+      var j = 0
+      while (j < a.length) {
+        val ch = a.charAt(j)
+        if (ch > 127 || !isWordByte(ch.toByte)) return None
+        j += 1
+      }
+      words(i) = a.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      i += 1
+    }
+    Some(words)
+  }
+
+  private def runMatches(b: Array[Byte], start: Int, end: Int,
+      words: Array[Array[Byte]]): Boolean = {
+    val len = end - start
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      if (word.length == len) {
+        var j = 0
+        var ok = true
+        while (ok && j < len) {
+          if (b(start + j) != word(j)) ok = false
+          j += 1
+        }
+        if (ok) return true
+      }
+      w += 1
+    }
+    false
+  }
+
+  /** One compiled registry entry: the fast word-set path when the
+    * pattern fits [[parseWords]]'s grammar AND the replacement carries
+    * no `$`/`\` group references (those go through Matcher's
+    * replacement-string processing in the fallback, same as
+    * regexp_replace).
+    */
+  private[functions] final class Entry(val pattern: String, val replacement: String)
+      extends Serializable {
+    @transient private var words0: Array[Array[Byte]] = _
+    @transient private var regex0: java.util.regex.Pattern = _
+    @transient private var parsed = false
+    private def ensure(): Unit = if (!parsed) {
+      val plainRepl = !replacement.contains('$') && !replacement.contains('\\')
+      words0 = if (plainRepl) WordRedact.parseWords(pattern).orNull else null
+      if (words0 == null) regex0 = java.util.regex.Pattern.compile(pattern)
+      parsed = true
+    }
+    def words: Array[Array[Byte]] = { ensure(); words0 }
+    def regex: java.util.regex.Pattern = { ensure(); regex0 }
+    @transient lazy val replacementBytes: Array[Byte] =
+      replacement.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The per-expression compiled registry + scan loops. Serializable so
+    * codegen can reference it from the generated class. */
+  final class Engine(patterns: Seq[String], replacements: Seq[String])
+      extends Serializable {
+    private val entries: Array[Entry] =
+      patterns.zip(replacements).map { case (p, r) => new Entry(p, r) }.toArray
+
+    private def countFast(b: Array[Byte], words: Array[Array[Byte]]): Long = {
+      var cnt = 0L
+      var i = 0
+      val n = b.length
+      while (i < n) {
+        if (isWordByte(b(i))) {
+          val start = i
+          while (i < n && isWordByte(b(i))) i += 1
+          if (runMatches(b, start, i, words)) cnt += 1
+        } else i += 1
+      }
+      cnt
+    }
+
+    private def redactFast(b: Array[Byte], words: Array[Array[Byte]],
+        repl: Array[Byte]): Array[Byte] = {
+      var out: java.io.ByteArrayOutputStream = null
+      var copied = 0
+      var i = 0
+      val n = b.length
+      while (i < n) {
+        if (isWordByte(b(i))) {
+          val start = i
+          while (i < n && isWordByte(b(i))) i += 1
+          if (runMatches(b, start, i, words)) {
+            if (out == null) out = new java.io.ByteArrayOutputStream(n + 16)
+            out.write(b, copied, start - copied)
+            out.write(repl, 0, repl.length)
+            copied = i
+          }
+        } else i += 1
+      }
+      if (out == null) b
+      else { out.write(b, copied, n - copied); out.toByteArray }
+    }
+
+    def compute(s: UTF8String): InternalRow = {
+      val original = s.getBytes
+      val counts = new Array[Long](entries.length)
+      var current = original
+      var currentStr: String = null // decoded lazily, only for regex entries
+      var k = 0
+      while (k < entries.length) {
+        val e = entries(k)
+        val w = e.words
+        if (w != null) {
+          counts(k) = countFast(original, w)
+          current = redactFast(current, w, e.replacementBytes)
+        } else {
+          // fallback: exact regexp_count / regexp_replace semantics
+          val origStr = {
+            if (currentStr == null) currentStr = s.toString
+            currentStr
+          }
+          val m = e.regex.matcher(origStr)
+          var c = 0L
+          while (m.find()) c += 1
+          counts(k) = c
+          val cur = new String(current, java.nio.charset.StandardCharsets.UTF_8)
+          val mr = e.regex.matcher(cur)
+          val sb = new java.lang.StringBuffer
+          while (mr.find()) mr.appendReplacement(sb, e.replacement)
+          mr.appendTail(sb)
+          current = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        k += 1
+      }
+      val redacted =
+        if (current eq original) s.clone()
+        else UTF8String.fromBytes(current)
+      new GenericInternalRow(Array[Any](redacted, new GenericArrayData(counts)))
+    }
+  }
+}
+
+/** Registry-driven PII scrub in one operator:
+  * `word_redact(text, patterns, replacements)` returns
+  * `struct(redacted, counts)` — the text with every pattern
+  * sequentially rewritten to its placeholder plus the per-pattern match
+  * counts on the ORIGINAL text (the t09 contract: counts diagnose the
+  * source, redaction feeds downstream).
+  *
+  * The engine compiles each literal registry entry once per plan: a
+  * `\b`-anchored word-alternation pattern (the shape the stand-in
+  * registry and most real PII hot patterns take) reduces to maximal
+  * word-run tokenization + byte-wise set membership — no regex engine
+  * on the hot path, no intermediate string per pattern, ~one scan per
+  * registry entry instead of the builtin chain's separate
+  * regexp_replace AND regexp_count engine runs per entry. Patterns
+  * outside the grammar (or replacements with group references) keep
+  * exact regexp_replace/regexp_count semantics through a compiled
+  * java.util.regex fallback inside the same operator, so the fast path
+  * is an optimization, never a semantics change
+  * (CustomExpressionsSpec pins both paths against the builtin chain).
+  */
+case class WordRedact(child: Expression, patterns: Seq[String],
+    replacements: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = new StructType()
+    .add("redacted", StringType, nullable = false)
+    .add("counts", ArrayType(LongType, containsNull = false), nullable = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_redact requires string, got ${other.simpleString(10)}")
+    }
+
+  @transient private lazy val engine = new WordRedact.Engine(patterns, replacements)
+
+  override protected def nullSafeEval(input: Any): Any =
+    engine.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val engRef = ctx.addReferenceObj("wordRedactEngine",
+      new WordRedact.Engine(patterns, replacements),
+      classOf[WordRedact.Engine].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $engRef.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordRedact =
+    copy(child = newChild)
+  override def prettyName: String = "word_redact"
+}
+
 /** Session registration for the custom expressions, so queries can use
   * them via `call_function` / SQL by name. Idempotent.
   */
@@ -766,6 +1092,8 @@ object CustomFunctions {
     ("decimal_micros", DecimalMicros.fromExprs _, classOf[DecimalMicros]),
     ("micros_double", MicrosDouble.fromExprs _, classOf[MicrosDouble]),
     ("json_get_long", JsonGetLong.fromExprs _, classOf[JsonGetLong]),
+    ("token_stats", TokenStats.fromExprs _, classOf[TokenStats]),
+    ("word_redact", WordRedact.fromExprs _, classOf[WordRedact]),
     ("bloom_agg",
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate

@@ -175,11 +175,16 @@ object TextQueries {
        |  len(regexp_extract_all(text, '$tokRe')) AS re_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
+    // token_stats: one allocation-free byte scan for both counts — the
+    // builtin composition runs a regex engine AND materializes every
+    // match string into an array per document just to take its length
+    // (TokenStatsSpec pins equality with that composition).
+    CustomFunctions.register(spark)
     tableFan(spark, dir, "documents")
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit(tokRe), lit(0))).cast("long")
-          .as("re_tokens"))
+        call_function("token_stats", col("text")).as("ts"))
+      .select(col("doc_id"), col("n_chars"),
+        col("ts.ws_tokens").as("ws_tokens"), col("ts.re_tokens").as("re_tokens"))
       .orderBy("doc_id")
   }
 
@@ -738,14 +743,22 @@ object TextQueries {
        |  $redacted AS redacted
        |FROM documents ORDER BY doc_id""".stripMargin
   }) { (spark, dir) =>
-    val redacted = piiPatterns.foldLeft(col("text")) {
-      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
-    }
-    val counts = piiPatterns.map { case (tag, pat, _) =>
-      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$tag")
+    // word_redact: the whole registry in one operator — counts on the
+    // original text plus the sequential redaction chain, with the
+    // \b-word patterns running as tokenize+set-membership byte scans
+    // instead of 2 regex-engine passes per entry (replace + count).
+    // WordRedactSpec pins equality with the regexp_replace/regexp_count
+    // chain on both the fast-path and fallback grammars.
+    CustomFunctions.register(spark)
+    val wr = call_function("word_redact", col("text"),
+      array(piiPatterns.map { case (_, pat, _) => lit(pat) }: _*),
+      array(piiPatterns.map { case (_, _, repl) => lit(repl) }: _*))
+    val counts = piiPatterns.zipWithIndex.map { case ((tag, _, _), i) =>
+      col("w.counts").getItem(i).as(s"n_$tag")
     }
     tableFan(spark, dir, "documents")
-      .select(Seq(col("doc_id")) ++ counts :+ redacted.as("redacted"): _*)
+      .select(col("doc_id"), wr.as("w"))
+      .select(Seq(col("doc_id")) ++ counts :+ col("w.redacted").as("redacted"): _*)
       .orderBy("doc_id")
   }
 
