@@ -723,6 +723,96 @@ case class NGramStats(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "ngram_stats"
 }
 
+object PassageExplode {
+  /** SQL/call_function builder: `passages(text, k)` with a foldable
+    * positive integer k (tokens per passage).
+    */
+  def fromExprs(exprs: Seq[Expression]): PassageExplode = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "passages(text, k) requires a literal k")
+    val kv = exprs(1).eval()
+    require(kv != null && kv.isInstanceOf[Number] &&
+        kv.asInstanceOf[Number].intValue() > 0,
+      s"passages k must be a positive integer literal, got $kv")
+    PassageExplode(exprs.head, kv.asInstanceOf[Number].intValue())
+  }
+}
+
+/** Non-overlapping k-token passage generator (the d08 splitting
+  * primitive): emits one `(i, passage)` row per window of k consecutive
+  * whitespace-split tokens. Split-on-space followed by join-with-space
+  * is the identity, so passage i IS the byte substring of the original
+  * text between the (i·k)-th and ((i+1)·k)-th spaces — this generator
+  * cuts those substrings in ONE byte scan, vs the
+  * `split → transform(sequence, i -> array_join(slice(...)))` +
+  * posexplode composition, which materializes the full token array AND
+  * every passage through an interpretively-evaluated lambda before
+  * exploding. Space bytes are ASCII, so byte cuts are codepoint-safe in
+  * UTF-8; consecutive spaces produce the same empty tokens split()
+  * produces (they rejoin as the original byte run). Empty text emits
+  * one empty passage (split('') is ['']) — ceil((spaces+1)/k) rows
+  * always, the same count `token_stats.ws_tokens` predicts.
+  */
+case class PassageExplode(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"passages requires string, got ${other.simpleString(10)}")
+    }
+
+  override def elementSchema: StructType = new StructType()
+    .add("i", IntegerType, nullable = false)
+    .add("passage", StringType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      val n = b.length
+      // start byte offsets of each passage: 0, then one past every
+      // k-th space
+      var starts = new Array[Int](8)
+      starts(0) = 0
+      var nStarts = 1
+      var spaces = 0
+      var i = 0
+      while (i < n) {
+        if (b(i) == ' ') {
+          spaces += 1
+          if (spaces % k == 0) {
+            if (nStarts == starts.length)
+              starts = java.util.Arrays.copyOf(starts, nStarts * 2)
+            starts(nStarts) = i + 1
+            nStarts += 1
+          }
+        }
+        i += 1
+      }
+      val cuts = starts
+      val total = nStarts
+      (0 until total).iterator.map { p =>
+        val from = cuts(p)
+        // exclusive end: the space byte before the next passage, or n
+        val until = if (p + 1 < total) cuts(p + 1) - 1 else n
+        InternalRow(p,
+          UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, from, until)))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PassageExplode =
+    copy(child = newChild)
+  override def prettyName: String = "passages"
+}
+
 object TokenStats {
   /** SQL/call_function builder: `token_stats(text)`. */
   def fromExprs(exprs: Seq[Expression]): TokenStats = {
@@ -1093,6 +1183,7 @@ object CustomFunctions {
     ("micros_double", MicrosDouble.fromExprs _, classOf[MicrosDouble]),
     ("json_get_long", JsonGetLong.fromExprs _, classOf[JsonGetLong]),
     ("token_stats", TokenStats.fromExprs _, classOf[TokenStats]),
+    ("passages", PassageExplode.fromExprs _, classOf[PassageExplode]),
     ("word_redact", WordRedact.fromExprs _, classOf[WordRedact]),
     ("bloom_agg",
       (exprs: Seq[Expression]) =>

@@ -584,20 +584,31 @@ object DedupQueries {
        |FROM totals t LEFT JOIN keptagg k USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val k = passageLen
-    val chunks = tableFan(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1),
-        i => array_join(slice(col("w"), i * k + 1, lit(k)), " "))))
-      .toDF("doc_id", "i", "passage")
-    // first occurrence wins, globally ordered by (doc_id, passage index)
+    CustomFunctions.register(spark)
+    val docs = tableFan(spark, dir, "documents")
+    // native generator: one byte scan cuts each passage as a substring
+    // between every k-th space — no token array, no interpreted
+    // slice/join lambda per chunk (TokenStatsSpec pins it against that
+    // composition).
+    val chunks = docs
+      .select(col("doc_id"), call_function("passages", col("text"), lit(k)))
+    // first occurrence wins, globally ordered by (doc_id, passage
+    // index). rank-the-window-and-keep-rn=1 IS min(struct(doc_id, i))
+    // per passage — but the aggregate form partial-combines map-side
+    // (the shuffle carries one candidate per distinct passage per
+    // partition, no per-group sort), where the window form shuffles and
+    // sorts EVERY chunk instance of the corpus.
     val kept = chunks
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("passage").orderBy("doc_id", "i")))
-      .filter(col("rn") === 1)
-    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_passages"))
+      .groupBy("passage")
+      .agg(min(struct(col("doc_id"), col("i"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.i").as("i"), col("passage"))
+    // chunk count per doc is a map-side identity of the token count —
+    // ceil(ws_tokens/k), exactly how many rows the generator emits — so
+    // the totals side never re-explodes the corpus.
+    val totals = docs.select(col("doc_id"),
+      ceil(call_function("token_stats", col("text")).getField("ws_tokens")
+        / lit(k.toDouble)).cast("long").as("n_passages"))
     val keptAgg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       array_join(transform(

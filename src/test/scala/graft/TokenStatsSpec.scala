@@ -67,6 +67,51 @@ class TokenStatsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // passages generator
+  // ------------------------------------------------------------------
+
+  test("passages matches the split/transform/slice/array_join composition") {
+    CustomFunctions.register(spark)
+    val texts = Seq(
+      "",
+      " ",
+      "   ",
+      "one",
+      (1 to 19).map(i => s"t$i").mkString(" "),
+      (1 to 20).map(i => s"t$i").mkString(" "),
+      (1 to 21).map(i => s"t$i").mkString(" "),
+      (1 to 40).map(i => s"t$i").mkString(" "),
+      (1 to 95).map(i => s"t$i").mkString(" "),
+      "a  double  spaced   text " + (1 to 50).map(_.toString).mkString(" "),
+      "héllo wörld " + (1 to 30).map(i => s"ünïcode$i").mkString(" "),
+      (1 to 25).map(_ => "x").mkString(" ") + " ")
+    val k = 20
+    val df = texts.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val ref = df.select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(split(col("text"), " ")) / lit(k.toDouble)).cast("int") - 1),
+        i => array_join(slice(split(col("text"), " "), i * k + 1, lit(k)), " "))))
+      .toDF("doc_id", "i", "passage")
+      .orderBy("doc_id", "i").collect()
+    val got = df.select(col("doc_id"), call_function("passages", col("text"), lit(k)))
+      .orderBy("doc_id", "i").collect()
+    assert(got.length === ref.length)
+    got.zip(ref).foreach { case (g, r) =>
+      assert(g.getInt(0) === r.getInt(0))
+      assert(g.getInt(1) === r.getInt(1), s"doc ${g.getInt(0)}")
+      assert(g.getString(2) === r.getString(2),
+        s"doc ${g.getInt(0)} passage ${g.getInt(1)}")
+    }
+    // row count identity the d08 totals side relies on
+    val counts = df.select(col("doc_id"),
+      ceil(call_function("token_stats", col("text")).getField("ws_tokens")
+        / lit(k.toDouble)).cast("long").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val emitted = got.groupBy(_.getInt(0)).view.mapValues(_.length.toLong).toMap
+    counts.foreach { case (d, n) => assert(emitted(d) === n, s"doc $d") }
+  }
+
+  // ------------------------------------------------------------------
   // word_redact
   // ------------------------------------------------------------------
 
