@@ -21,6 +21,11 @@ object Bench {
       // at sf0.1 — dedup/window intermediates are CPU-dense (small in
       // bytes, expensive per row), so byte-advisory coalescing starves
       // them of cores. Default (parallelism-first) stands.
+      // NOTE: measured, rejected: spark.sql.adaptive.enabled=false
+      // regressed the suite 33.9→38.2 s in the same window — AQE's
+      // per-stage re-optimization costs less than the task-scheduling
+      // it saves by coalescing the tiny sf0.1 shuffles (and some joins
+      // lose their runtime SMJ→BHJ conversion). AQE stays on.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup at the smallest SF: the plans are identical
