@@ -363,7 +363,19 @@ object CoreQueries {
       |ORDER BY r.o_orderkey""".stripMargin
   ) { (spark, dir) => transferPipeline(spark, dir) }
 
-  /** q10 body, reused by SparkEntry.entry. */
+  /** q10 body, reused by SparkEntry.entry.
+    *
+    * Measured, rejected (round 8): a "deferred-relevance" form that
+    * drops all three pruning joins (tu.distinct semi-join, relevantCust
+    * distinct + semi-join) and recovers the relevant set after the one
+    * groupBy via `out_addrs != ''` — fewer shuffles on paper, but 4.3 s
+    * vs this form's 2.8 s solo at sf1 (adjacent quiet windows, best-of-5
+    * each, equivalence spec-verified before benching): the unpruned lag
+    * window over ALL orders plus the unpruned consumed-side join fan-out
+    * cost more than the three narrow semi-join shuffles they replace.
+    * Eager pruning stands — the relevant set is selective enough that
+    * shrinking every later stage dominates.
+    */
   def transferPipeline(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val orders = table(spark, dir, "orders")
