@@ -672,6 +672,11 @@ object ExtendedQueries {
     // Expand every joined row into two projections; aggregating
     // (window, user) first, then the window, computes the identical
     // result with the pairs passing the hash aggregate exactly once.
+    // Measured, rejected (round 8): fusing both levels into one
+    // groupBy(window) with size(collect_set(user_id)) was 2.21 s vs
+    // 2.33 s solo at sf1 — inside window noise — and concentrates a
+    // whole window's distinct-user set in ONE aggregation buffer, the
+    // wrong posture for hot windows at 100 TB. Two levels stand.
     eb.join(broadcast(wb), Seq("bucket"))
       .filter(col("ts_ns") >= col("w_start") &&
         col("ts_ns") < col("w_start") + windowNs)
