@@ -215,6 +215,21 @@ object DedupQueries {
   val numBands = 32
   val rowsPerBand = 4
 
+  /** LSH banding: (doc_id, band, bh) bucket keys from (doc_id, sig)
+    * MinHash signatures — bucket key = xxhash64 of the band's r
+    * signature values. Shared by d03 and the streaming twin's
+    * equivalence spec (graft.streaming.StreamDedup replicates this
+    * hash per row; StreamDedupSpec pins the equality).
+    */
+  def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)), bi =>
+        struct(bi.as("band"),
+          xxhash64(concat_ws(",", transform(
+            slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")))).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
   val d03 = Q("d03_dedup_minhash_lsh",
     // LSH candidates + exact verification ≡ exact Jaccard ≥ 0.8 (see
     // miss-probability above) — the oracle is the exact computation.
@@ -239,15 +254,7 @@ object DedupQueries {
     val bands = bandsMemo.getOrElseUpdate((spark, dir), {
       val sigs = grams.groupBy("doc_id")
         .agg(call_function("minhash128", xxhash64(col("g"))).as("sig"))
-      // banding: bucket key = hash of each band's r signature values
-      sigs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(numBands - 1)), bi =>
-          struct(bi.as("band"),
-            xxhash64(concat_ws(",", transform(
-              slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)),
-              _.cast("string")))).as("bh")))).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-        .cache()
+      bandKeys(sigs).cache()
     })
     val candidates = bands.toDF("a", "band", "bh")
       .join(bands.toDF("b", "band2", "bh2"),
