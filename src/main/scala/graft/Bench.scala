@@ -21,6 +21,15 @@ object Bench {
       // at sf0.1 — dedup/window intermediates are CPU-dense (small in
       // bytes, expensive per row), so byte-advisory coalescing starves
       // them of cores. Default (parallelism-first) stands.
+      // NOTE: measured, ambiguous, default kept:
+      // spark.sql.files.maxPartitionBytes=16m (split the sf1 110 MB /
+      // 6-row-group lineitem scan 6 ways instead of 1). Targeted
+      // lineitem-heavy subset at sf1: −12% (5.67→4.98 s); full suite,
+      // same-window control: +4% (73.4 vs 70.7 s) — the finer splits
+      // speed single-agg scans (as-of/window/q31) but add map-task
+      // scheduling to multi-stage pipelines (q07 +0.7 s, q10 +0.3 s).
+      // At 100 TB this knob is moot (thousands of natural splits);
+      // locally the 128 MB default stands.
       // NOTE: measured, rejected: spark.sql.adaptive.enabled=false
       // regressed the suite 33.9→38.2 s in the same window — AQE's
       // per-stage re-optimization costs less than the task-scheduling
