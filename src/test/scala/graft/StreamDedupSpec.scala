@@ -32,6 +32,32 @@ class StreamDedupSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("per-row signature/banding equals batch on adversarial generated text") {
+    CustomFunctions.register(spark)
+    val rnd = new scala.util.Random(20260814L)
+    val words = Vector("a", "bb", "ccc", "θ", "日本", "😀", "x" * 50, "", " ")
+    def doc(): String = (0 until rnd.nextInt(12))
+      .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val texts = Seq("", " ", "  ", "a b", "a b c", "a a a a", "a  b c") ++
+      (0 until 300).map(_ => doc())
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sigs = DedupQueries.wordTrigrams(d).groupBy("doc_id")
+      .agg(call_function("minhash128", xxhash64(col("g"))).as("sig"))
+    val batch = DedupQueries.bandKeys(sigs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val perRow = texts.zipWithIndex.iterator
+      .flatMap { case (t, i) =>
+        graft.streaming.StreamDedup.bandObservations(
+          graft.streaming.StreamDoc(i.toLong, t)) }
+      .map(o => (o.doc_id, o.band, o.bh)).toSet
+    assert(perRow === batch)
+    // the generator really exercised both arms: some docs banded,
+    // some (under 3 words) produced nothing
+    assert(perRow.map(_._1).size < texts.size)
+    assert(perRow.nonEmpty)
+  }
+
   test("streaming candidates across micro-batches + verification equal batch d03") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
