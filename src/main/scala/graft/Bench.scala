@@ -110,10 +110,11 @@ object Bench {
     *   - stdout gets exactly ONE line, printed after `spark.stop()` so no
     *     stray log follows it (build.sbt's StdoutOutput + showSuccess
     *     keep sbt from prefixing or appending to it);
-    *   - the line carries the full per-query map at the highest decimal
-    *     precision that keeps it inside the tail (80 query names alone
-    *     are ~1700 chars; 3 decimals overflows, 1 decimal fits). If even
-    *     1 decimal overflows, fall back to a total-only line — a
+    *   - the line carries the most detail that fits the tail: the full
+    *     per-query map at adaptive precision while the suite was ≤ 80
+    *     names; at the current 84 the map overflows at ANY precision,
+    *     so the line degrades to per-family subtotals (still the
+    *     total + q/d/t/p/s/m/c breakdown), then total-only — a
     *     parseable total beats an unparseable map;
     *   - the FULL 3-decimal line goes to stderr (human/log use) and to
     *     SPARK_GRAFT_BENCH_OUT (default target/bench_queries.json) for
@@ -141,9 +142,15 @@ object Bench {
   }
 
   /** One JSON line: full per-query map at 3 decimals if it fits maxLen,
-    * else 2, else 1, else a total-only line (a parseable total beats an
-    * unparseable map). `sf` is always the basename (one consistent
-    * encoding — the full path belongs to logs, not the artifact).
+    * else 2, else 1; when even the 1-decimal map overflows (the suite
+    * outgrew the tail budget — at ~84 query names the map alone exceeds
+    * 2000 chars at ANY precision), a per-FAMILY rollup (`families`:
+    * summed seconds keyed by the name's alpha prefix — q/d/t/p/s/m/c —
+    * plus `n`) keeps the line informative; last resort is total-only.
+    * A parseable total beats an unparseable map; the full 3-decimal
+    * per-query map always persists to stderr + the BENCH_OUT file.
+    * `sf` is always the basename (one consistent encoding — the full
+    * path belongs to logs, not the artifact).
     */
   private[graft] def renderLine(results: Map[String, Double], sfDir: String,
       maxLen: Int): String = {
@@ -156,13 +163,24 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    def withQueries(p: Int): String = {
-      val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, p) }
+    def jsonMap(m: Seq[(String, Double)], p: Int): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v, p) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    }
-    (3 to 1 by -1).map(withQueries).find(_.length <= maxLen).getOrElse(
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"sf":"$sfName"}""")
+    def withQueries(p: Int): String =
+      s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","queries":${
+        jsonMap(results.toSeq.sortBy(_._1), p)},"sf":"$sfName"}"""
+    val families = results.toSeq
+      .groupBy { case (k, _) => k.takeWhile(!_.isDigit) match {
+        case "" => "other"
+        case f  => f
+      } }
+      .map { case (f, kvs) => f -> kvs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    def withFamilies(p: Int): String =
+      s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","n":${
+        results.size},"families":${jsonMap(families, p)},"sf":"$sfName"}"""
+    ((3 to 1 by -1).map(withQueries) ++ (3 to 1 by -1).map(withFamilies))
+      .find(_.length <= maxLen).getOrElse(
+        s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"sf":"$sfName"}""")
   }
 }

@@ -230,6 +230,19 @@ object DedupQueries {
             _.cast("string")))).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
+  /** Session-shared (doc_id, band, bh) LSH bucket keys for every
+    * document — MinHash signatures built once per (session, dir) and
+    * banded ([[bandKeys]]). Both sides of d03's self-join and d09's
+    * delta-vs-base join consume this one cached relation; at 100 TB it
+    * is the persisted LSH index an incremental pipeline maintains.
+    */
+  def sharedBands(spark: SparkSession, dir: String): DataFrame =
+    bandsMemo.getOrElseUpdate((spark, dir), {
+      val sigs = sharedGrams(spark, dir).groupBy("doc_id")
+        .agg(call_function("minhash128", xxhash64(col("g"))).as("sig"))
+      bandKeys(sigs).cache()
+    })
+
   val d03 = Q("d03_dedup_minhash_lsh",
     // LSH candidates + exact verification ≡ exact Jaccard ≥ 0.8 (see
     // miss-probability above) — the oracle is the exact computation.
@@ -246,16 +259,10 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
-    // session-shared cache: signatures, candidate verification and set
-    // sizes all re-consume the shingle relation
-    val grams = sharedGrams(spark, dir)
-    // cached + memoized: both sides of the bucket self-join would
-    // otherwise recompute the MinHash aggregation over every shingle
-    val bands = bandsMemo.getOrElseUpdate((spark, dir), {
-      val sigs = grams.groupBy("doc_id")
-        .agg(call_function("minhash128", xxhash64(col("g"))).as("sig"))
-      bandKeys(sigs).cache()
-    })
+    // cached + memoized ([[sharedBands]]): both sides of the bucket
+    // self-join would otherwise recompute the MinHash aggregation over
+    // every shingle
+    val bands = sharedBands(spark, dir)
     val candidates = bands.toDF("a", "band", "bh")
       .join(bands.toDF("b", "band2", "bh2"),
         col("band") === col("band2") && col("bh") === col("bh2") &&
@@ -628,5 +635,95 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07, d08)
+  // ---------------------------------------------------------------------
+  // d09 — INCREMENTAL dedup: deduplicate a new delta batch against an
+  // existing base corpus without re-deduping the world — the shape every
+  // production pipeline actually runs (daily crawl increments against
+  // the accumulated corpus). Membership is a deterministic id rule
+  // (doc_id % 10 = 9 → delta, ~10%), standing in for the batch boundary.
+  // Two rungs per delta document:
+  //   exact — content-hash join against the base (min matching base id);
+  //   near  — LSH band buckets of the delta docs joined against the
+  //           base's band index, candidates exact-Jaccard-verified ≥ τ
+  //           (min matching base id); same banding as d03, so the
+  //           verified output equals the exact delta×base Jaccard join
+  //           with the d03 miss probability (≈5e-8 at τ=0.8) — the
+  //           oracle is the exact computation.
+  // Verdict: 'exact' ≻ 'near' ≻ 'new'.
+  //
+  // 100 TB posture: the delta is small relative to the base, so its
+  // hash set and band keys BROADCAST — both joins are map-side probes
+  // of base-side relations that in a real deployment are persisted
+  // indexes (content-hash table, LSH band index) appended per batch,
+  // never rebuilt; here both sides come from the session-shared
+  // sharedBands/sharedGramSets caches. Nothing is O(N²) in the base and
+  // nothing rescans previously-deduped batches.
+  // ---------------------------------------------------------------------
+  val d09 = Q("d09_incremental_dedup",
+    s"""WITH $trigramCte,
+       |ex AS (
+       |  SELECT d.doc_id, min(b.doc_id) AS exact_of
+       |  FROM documents d JOIN documents b
+       |    ON md5(d.text) = md5(b.text)
+       |   AND d.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+       |  GROUP BY 1),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g
+       |  WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+       |  GROUP BY 1, 2),
+       |nr AS (
+       |  SELECT a AS doc_id, min(b) AS near_of
+       |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $jaccardThreshold
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(ex.exact_of, CAST(-1 AS BIGINT)) AS exact_dup_of,
+       |  COALESCE(nr.near_of, CAST(-1 AS BIGINT)) AS near_dup_of,
+       |  CASE WHEN ex.exact_of IS NOT NULL THEN 'exact'
+       |       WHEN nr.near_of IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+       |LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    CustomFunctions.register(spark)
+    val docs = table(spark, dir, "documents")
+    val isDelta = col("doc_id") % 10 === 9
+    val delta = docs.filter(isDelta).select(col("doc_id"))
+    // exact rung: the (small) delta hash set broadcasts; the base side
+    // streams through a map-side hash join
+    val deltaHash = docs.filter(isDelta)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val baseHash = docs.filter(!isDelta)
+      .select(md5(col("text")).as("h"), col("doc_id").as("bid"))
+    val exact = baseHash.join(broadcast(deltaHash), "h")
+      .groupBy("doc_id").agg(min("bid").as("exact_of"))
+    // near rung: delta band keys (broadcast) probe the base band index
+    val bands = sharedBands(spark, dir)
+    val deltaBands = bands.filter(col("doc_id") % 10 === 9)
+      .toDF("a", "band_a", "bh_a")
+    val baseBands = bands.filter(col("doc_id") % 10 =!= 9)
+      .toDF("b", "band_b", "bh_b")
+    val candidates = baseBands
+      .join(broadcast(deltaBands),
+        col("band_a") === col("band_b") && col("bh_a") === col("bh_b"))
+      .select("a", "b").distinct()
+    val near = exactJaccard(candidates, sharedGramSets(spark, dir))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .groupBy(col("doc_a").as("doc_id")).agg(min("doc_b").as("near_of"))
+    delta
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_of"), lit(-1L)).as("exact_dup_of"),
+        coalesce(col("near_of"), lit(-1L)).as("near_dup_of"),
+        when(col("exact_of").isNotNull, "exact")
+          .when(col("near_of").isNotNull, "near")
+          .otherwise("new").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07, d08, d09)
 }

@@ -896,6 +896,55 @@ object TextQueries {
       .orderBy("chk")
   }
 
+  // ---------------------------------------------------------------------
+  // p11 — seeded GLOBAL SHUFFLE + shard assignment: the training-order
+  // step every pretraining pipeline runs last — a reproducible
+  // pseudo-random permutation of the corpus, materialized as numbered
+  // shards. Key = md5(seed ‖ doc_id) (a keyed hash IS the deterministic
+  // permutation — stable across runs, engines, and corpus partitioning);
+  // shard = first hex nibble of the key mod `numShards` (uniform — each
+  // of the 16 nibble values is equiprobable); position within the shard
+  // = rank by (key, doc_id). The global order a reader reconstructs is
+  // (shard, pos) — exactly how sharded training data is consumed, one
+  // writer/reader per shard.
+  //
+  // 100 TB posture: this deliberately AVOIDS the single global
+  // row_number() (one total-order window = one task no matter the
+  // cluster) — the only shuffle is the shard-partitioned rank window,
+  // numShards-way parallel with ~N/numShards rows each, and in a real
+  // deployment the shard is also the write partition
+  // (partitionBy(shard)), so the sort feeds the writer directly.
+  // ---------------------------------------------------------------------
+  val numShards = 8
+
+  val p11 = Q("p11_shard_shuffle", {
+    // one hex nibble parsed arithmetically (no strtol in DuckDB)
+    val nibble = "CASE WHEN substring(key, 1, 1) >= 'a' " +
+      "THEN ascii(substring(key, 1, 1)) - 87 " +
+      "ELSE ascii(substring(key, 1, 1)) - 48 END"
+    s"""WITH k AS (
+       |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS key
+       |  FROM documents),
+       |s AS (SELECT doc_id, key,
+       |    CAST($nibble % $numShards AS BIGINT) AS shard FROM k)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM s ORDER BY doc_id""".stripMargin
+  }) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("s42:"), col("doc_id").cast("string"))).as("key"))
+      .withColumn("shard",
+        (conv(substring(col("key"), 1, 1), 16, 10).cast("long") % numShards))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("key", "doc_id")).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    p01, p02, p03, p04, p06, p07, p08, p09)
+    p01, p02, p03, p04, p06, p07, p08, p09, p11)
 }

@@ -425,7 +425,7 @@ object VectorQueries {
     */
   def degradedOracles: Seq[String] = {
     val c = if (soleCentroids.isEmpty)
-      Seq("s03_ann_ivf_probed", "p05_semantic_dedup") else Nil
+      Seq("s03_ann_ivf_probed", "s06_knn_graph", "p05_semantic_dedup") else Nil
     val p = if (solePq.isEmpty) Seq("s04_ann_pq_adc") else Nil
     c ++ p
   }
@@ -900,5 +900,114 @@ object VectorQueries {
       .orderBy("qid", "rank")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, d05, p05)
+  // ---------------------------------------------------------------------
+  // p10 — SEMANTIC decontamination: flag every corpus vector whose best
+  // cosine against a held-out benchmark/eval embedding set reaches the
+  // near-dup threshold — the embedding-space twin of p06's n-gram
+  // decontamination (catches paraphrased eval leakage that shares no
+  // shingle). The benchmark set is bounded (the first `numBench` ids
+  // stand in for an eval suite's embeddings), so it BROADCASTS and the
+  // corpus streams through one map-side scan — O(N·|bench|) with no
+  // shuffle except the per-vector top-1 aggregation, which the
+  // bounded-heap topk_agg partial-combines map-side (k=1: each
+  // partition forwards exactly one candidate per vector). The exact
+  // linear-scan shape (s01's) is right here because |bench| is small;
+  // at larger eval suites the s02/s03 bucketed variants apply
+  // unchanged. Ties (equal cosine) resolve to the smaller benchmark id
+  // — topk_agg's total order, mirrored by the oracle's rank window.
+  // ---------------------------------------------------------------------
+  private val numBench = 20
+  val decontThreshold = 0.4
+
+  val p10 = Q("p10_embed_decontaminate",
+    s"""WITH $vectorsCte,
+       |bm AS (SELECT vec_id AS bid, v AS bv, nrm AS bn FROM e
+       |       WHERE vec_id < $numBench),
+       |pairs AS (
+       |  SELECT e.vec_id, bm.bid, ${dotSql("e.v", "bm.bv")} / (e.nrm * bm.bn) AS cos
+       |  FROM e, bm WHERE e.vec_id >= $numBench),
+       |ranked AS (SELECT vec_id, bid, cos, row_number() OVER (
+       |  PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn FROM pairs)
+       |SELECT vec_id, bid AS contaminated_by, cos AS max_cos,
+       |  CAST(CASE WHEN cos >= $decontThreshold THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+       |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = vectors(spark, dir)
+    val bm = e.filter(col("vec_id") < numBench)
+      .select(col("vec_id").as("bid"), col("v").as("bv"), col("nrm").as("bn"))
+    e.filter(col("vec_id") >= numBench)
+      .join(broadcast(bm), col("vec_id") =!= col("bid"))
+      .select(col("vec_id"), col("bid"),
+        (dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("cos"))
+      .groupBy("vec_id")
+      .agg(call_function("topk_agg",
+        struct(col("cos").as("ord"), col("bid").as("id")), lit(1)).as("top"))
+      .select(col("vec_id"), element_at(col("top"), 1).as("t"))
+      .select(col("vec_id"), col("t.id").as("contaminated_by"),
+        col("t.ord").as("max_cos"),
+        when(col("t.ord") >= decontThreshold, 1L).otherwise(0L).as("is_contaminated"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // s06 — k-NN GRAPH build: every vector's exact top-k neighbors WITHIN
+  // its trained IVF cell (s03's k-means index bounds the candidate set,
+  // exactly as in SemDeDup/graph-based filtering pipelines that consume
+  // a kNN graph rather than ad-hoc queries). Output is the ranked
+  // adjacency list (vec_id, rank, neighbor_id, cos).
+  //
+  // 100 TB posture: the within-cell pair generation is the p05 shape
+  // (O(Σ|cell|²), cells grown ∝ corpus), but the join key is SALTED —
+  // a fixed cell count is a low-cardinality shuffle key (16 cells caps
+  // parallelism at 16 tasks however many executors exist), so the left
+  // side carries bucket = vec_id % `knnSalt` and the right side
+  // replicates into all `knnSalt` buckets, making the key
+  // (cell, bucket): knnSalt× the parallelism for a knnSalt× replication
+  // of the (far smaller) probe side, with identical pair output. The
+  // per-vector top-k then partial-combines map-side via the
+  // bounded-heap topk_agg — only k rows per vector per partition reach
+  // the final shuffle, never the O(|cell|) candidate lists.
+  // Centroids are data-derived → oracle inlines the trained constants
+  // at dump time (soleCentroids), like s03/p05.
+  // ---------------------------------------------------------------------
+  val knnK = 3
+  private val knnSalt = 8
+
+  val s06: Q = Q("s06_knn_graph",
+    (spark, dir) => s06Body(spark, dir),
+    () => soleCentroids.map { cs =>
+      s"""WITH $vectorsCte,
+         |r AS (SELECT vec_id, v, nrm, ${cellsRankedSql(cs)} AS cells FROM e),
+         |b AS (SELECT vec_id, v, nrm, CAST(cells[1].i AS BIGINT) AS cell FROM r),
+         |pairs AS (
+         |  SELECT a.vec_id, t.vec_id AS nb, ${dotSql("a.v", "t.v")} / (a.nrm * t.nrm) AS cos
+         |  FROM b a JOIN b t USING (cell) WHERE t.vec_id <> a.vec_id),
+         |ranked AS (SELECT vec_id, nb, cos, row_number() OVER (
+         |  PARTITION BY vec_id ORDER BY cos DESC, nb) AS rank FROM pairs)
+         |SELECT vec_id, rank, nb AS neighbor_id, cos FROM ranked
+         |WHERE rank <= $knnK ORDER BY vec_id, rank""".stripMargin
+    })
+
+  private def s06Body(spark: SparkSession, dir: String): DataFrame = {
+    val cs = trainedCentroids(spark, dir)
+    val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
+    val a = e.select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+      pmod(col("vec_id"), lit(knnSalt)).as("bucket"))
+    val b = e.select(col("vec_id").as("nb"), col("v").as("bv"),
+        col("nrm").as("bn"), col("cell"),
+        explode(sequence(lit(0L), lit((knnSalt - 1).toLong))).as("bucket"))
+    a.join(b, Seq("cell", "bucket"))
+      .filter(col("nb") =!= col("vec_id"))
+      .select(col("vec_id"), col("nb"),
+        (dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("cos"))
+      .groupBy("vec_id")
+      .agg(call_function("topk_agg",
+        struct(col("cos").as("ord"), col("nb").as("id")), lit(knnK)).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.ord").as("cos"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, d05, p05, p10)
 }

@@ -6,18 +6,19 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The driver captures a bounded 2000-char stdout TAIL and parses the
   * last line as JSON — three rounds of `"parsed": null` came from lines
   * that overflowed the tail or got sbt-wrapped. Pins the renderLine
-  * contract: always valid JSON; the REAL suite's full per-query map fits
-  * the 1950-char budget (adaptive precision); total-only fallback only
-  * when nothing fits.
+  * contract: always valid JSON; per-query map when it fits the
+  * 1950-char budget (adaptive precision); per-FAMILY rollup once the
+  * suite outgrows the tail (at 84 query names the map alone exceeds
+  * 2000 chars at any precision); total-only fallback last.
   */
 class BenchArtifactSpec extends AnyFunSuite {
 
   private val mapper = new ObjectMapper()
 
-  test("the real 80-query suite renders as one parseable line within the tail budget") {
+  test("the real suite renders as one parseable line within the tail budget") {
     // the actual registry names — the binding constraint is their length
     val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
-    assert(results.size >= 80)
+    assert(results.size >= 84)
     val line = Bench.renderLine(results, "/root/testdata/sf0.1", maxLen = 1950)
     assert(line.length <= 1950, s"line is ${line.length} chars")
     assert(!line.contains('\n'))
@@ -25,26 +26,44 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(node.get("metric").asText() === "total")
     assert(node.get("unit").asText() === "sec")
     assert(node.get("sf").asText() === "sf0.1") // basename, not the path
-    assert(node.get("queries").size() === results.size)
-    // value ≈ sum of the per-query values at the emitted precision
+    // 84 names can no longer fit as a map — the family rollup carries
+    // the per-family totals and the exact query count instead
+    assert(node.get("queries") === null)
+    assert(node.get("n").asInt() === results.size)
+    val fams = node.get("families")
+    assert(fams.size() === 7) // q, d, t, p, s, m, c
+    Seq("q", "d", "t", "p", "s", "m", "c").foreach(f =>
+      assert(fams.get(f) !== null, s"family $f missing"))
+    // family values sum to the total at the emitted precision
+    val famSum = Seq("q", "d", "t", "p", "s", "m", "c")
+      .map(fams.get(_).asDouble()).sum
+    assert(math.abs(famSum - node.get("value").asDouble()) < 0.5)
     assert(math.abs(node.get("value").asDouble() - results.size * 1.234567) < 0.5)
   }
 
   test("precision degrades before the map is dropped; map drops before validity") {
     val results = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
-    // unconstrained → full 3-decimal precision
+    // unconstrained → full 3-decimal precision per-query map
     val wide = Bench.renderLine(results, "sf0.1", maxLen = Int.MaxValue)
     assert(wide.contains("\":1.235")) // 3-decimal rounding
+    assert(mapper.readTree(wide).get("queries").size() === results.size)
     // one char below the 3-decimal length → still the full map, coarser
     val mid = Bench.renderLine(results, "sf0.1", maxLen = wide.length - 1)
     assert(mid.length < wide.length)
     assert(mapper.readTree(mid).get("queries").size() === results.size)
+    // family-rollup budget → families present, still valid JSON
+    val fam = Bench.renderLine(results, "sf0.1", maxLen = 300)
+    val fnode = mapper.readTree(fam)
+    assert(fnode.get("queries") === null)
+    assert(fnode.get("families").size() === 7)
+    assert(fam.length <= 300)
     // impossible budget → total-only fallback, still valid JSON
-    val tiny = Bench.renderLine(results, "sf0.1", maxLen = 200)
+    val tiny = Bench.renderLine(results, "sf0.1", maxLen = 120)
     val node = mapper.readTree(tiny)
     assert(node.get("queries") === null)
+    assert(node.get("families") === null)
     assert(node.get("n").asInt() === results.size)
-    assert(tiny.length <= 200)
+    assert(tiny.length <= 120)
   }
 
   test("empty and zero-valued results stay parseable") {

@@ -17,7 +17,8 @@ class CacheLifecycleSpec extends SparkSpec {
     // start from a clean slate regardless of suite order
     SparkEntry.invalidateCaches()
     assert(VectorQueries.degradedOracles.toSet ===
-      Set("s03_ann_ivf_probed", "p05_semantic_dedup", "s04_ann_pq_adc"))
+      Set("s03_ann_ivf_probed", "s06_knn_graph", "p05_semantic_dedup",
+        "s04_ann_pq_adc"))
 
     VectorQueries.trainedCentroids(spark, sf)
     // one centroid entry → centroid-backed oracles healthy, PQ still empty

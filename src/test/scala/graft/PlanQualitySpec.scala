@@ -25,6 +25,7 @@ class PlanQualitySpec extends SparkSpec {
     val allowedNestedLoop = Set("s01_ann_brute_topk", "d04_dedup_simhash",
       "s04_ann_pq_adc", // ADC scan: broadcast bounded query batch, like s01
       "s05_mmr_diversify", // pool stage reuses s01's broadcast shortlist shape
+      "p10_embed_decontaminate", // broadcast bounded benchmark batch, s01 shape
       "q41_gapfill") // grid = users × broadcast 1-row (minHour, maxHour) bounds
     SparkEntry.queries.keys.foreach { name =>
       val plan = executedPlan(name)

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupQueries, TextQueries, VectorQueries}
+
+/** Semantic pins for the round-8 additions: d09 incremental dedup,
+  * p10 embedding decontamination, s06 kNN graph, p11 shard shuffle.
+  */
+class Round8Spec extends SparkSpec {
+
+  /** Temp dir shaped like a testdata sf dir with one documents table. */
+  private def corpus(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r8").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("d09 classifies delta docs: exact copy, near copy, novel") {
+    val base3 = words("x", 30)
+    val base4 = words("y", 30)
+    val dir = corpus(Seq(
+      0L -> words("a", 30), 1L -> words("b", 30), 2L -> words("c", 30),
+      3L -> base3, 4L -> base4,
+      9L -> base3,                 // delta: exact copy of base doc 3
+      19L -> (base4 + " extra"),   // delta: near copy of base doc 4 (J=28/29)
+      29L -> words("z", 30)))      // delta: novel
+    val out = DedupQueries.d09.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet === Set(9L, 19L, 29L)) // delta rows only
+    assert(out(9L) === ((3L, 3L, "exact")))  // exact dup is also a near dup
+    assert(out(19L) === ((-1L, 4L, "near")))
+    assert(out(29L) === ((-1L, -1L, "new")))
+  }
+
+  test("d09 matches only the base side, never other delta docs") {
+    val shared = words("s", 30)
+    // two identical DELTA docs with no base counterpart: neither may
+    // report the other
+    val dir = corpus(Seq(
+      0L -> words("a", 30),
+      9L -> shared, 19L -> shared))
+    val out = DedupQueries.d09.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(9L -> "new", 19L -> "new"))
+  }
+
+  test("p10 equals the naive window-form max-cosine recomputation") {
+    val got = VectorQueries.p10.fn(spark, sf).collect().toSeq
+    // naive form: all (corpus, bench) cosines, rank window, rn = 1
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("v"), col("v"), _ * _),
+        lit(0.0), _ + _)))
+    val bm = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("bid"), col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
+    val naive = e.filter(col("vec_id") >= 20).crossJoin(bm)
+      .select(col("vec_id"), col("bid"),
+        (aggregate(zip_with(col("v"), col("bv"), _ * _), lit(0.0), _ + _)
+          / (col("nrm") * col("bn"))).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("bid").as("contaminated_by"),
+        col("cos").as("max_cos"),
+        when(col("cos") >= VectorQueries.decontThreshold, 1L).otherwise(0L)
+          .as("is_contaminated"))
+      .orderBy("vec_id").collect().toSeq
+    assert(got === naive)
+  }
+
+  test("s06 salted within-cell kNN equals the plain window form") {
+    val got = VectorQueries.s06.fn(spark, sf).collect().toSeq
+    // plain form: unsalted cell self-join + rank window (same cos expr)
+    val cs = VectorQueries.trainedCentroids(spark, sf)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(VectorQueries.dot(col("v"), col("v"))))
+      .withColumn("cell", VectorQueries.cellOf(col("v"), cs))
+    val b = e.select(col("vec_id").as("nb"), col("v").as("bv"),
+      col("nrm").as("bn"), col("cell"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nb"))
+    val naive = e.join(b, Seq("cell")).filter(col("nb") =!= col("vec_id"))
+      .select(col("vec_id"), col("nb"),
+        (VectorQueries.dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= VectorQueries.knnK)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("nb").as("neighbor_id"), col("cos"))
+      .orderBy("vec_id", "rank").collect().toSeq
+    assert(got === naive)
+  }
+
+  test("p11 shards are dense, uniform-keyed, and deterministic") {
+    val a = TextQueries.p11.fn(spark, sf).collect().toSeq
+    val b = TextQueries.p11.fn(spark, sf).collect().toSeq
+    assert(a === b) // reproducible permutation
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(a.length === n)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < TextQueries.numShards))
+    // positions within each shard are exactly 1..|shard|
+    a.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps === (1L to ps.length).toSeq)
+    }
+  }
+}
