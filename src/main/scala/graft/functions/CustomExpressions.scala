@@ -723,6 +723,93 @@ case class NGramStats(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "ngram_stats"
 }
 
+object TokenWindowExplode {
+  /** SQL/call_function builder: `token_windows(text, k)` with a
+    * foldable positive integer k (tokens per sliding window).
+    */
+  def fromExprs(exprs: Seq[Expression]): TokenWindowExplode = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "token_windows(text, k) requires a literal k")
+    val kv = exprs(1).eval()
+    require(kv != null && kv.isInstanceOf[Number] &&
+        kv.asInstanceOf[Number].intValue() > 0,
+      s"token_windows k must be a positive integer literal, got $kv")
+    TokenWindowExplode(exprs.head, kv.asInstanceOf[Number].intValue())
+  }
+}
+
+/** SLIDING k-token window generator (the d10 exact-substring-dedup
+  * primitive): emits one `(i, win)` row per window of k consecutive
+  * whitespace-split tokens at every start position — i is the 1-based
+  * token index of the window's first token (matching DuckDB's
+  * `generate_series(1, len(w)-k+1)` / `list_slice(w, i, i+k-1)`), and
+  * `win` is the space-joined window text. Split-on-space then
+  * join-with-space is the identity, so window i IS the byte substring
+  * from token i's start to the space before token i+k — this generator
+  * collects the token start offsets in ONE byte scan and cuts each
+  * window as a substring, never materializing the token array or a
+  * per-window lambda chain. Space bytes are ASCII, so byte cuts are
+  * codepoint-safe in UTF-8. Rows with fewer than k tokens emit nothing
+  * (same as the SQL form's empty generate_series range).
+  */
+case class TokenWindowExplode(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_windows requires string, got ${other.simpleString(10)}")
+    }
+
+  override def elementSchema: StructType = new StructType()
+    .add("i", LongType, nullable = false)
+    .add("win", StringType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      val n = b.length
+      // token start byte offsets: 0, then one past every space
+      var starts = new Array[Int](16)
+      starts(0) = 0
+      var nTok = 1
+      var i = 0
+      while (i < n) {
+        if (b(i) == ' ') {
+          if (nTok == starts.length)
+            starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          starts(nTok) = i + 1
+          nTok += 1
+        }
+        i += 1
+      }
+      if (nTok < k) Iterator.empty
+      else {
+        val cuts = starts
+        val tokens = nTok
+        (0 to tokens - k).iterator.map { s =>
+          // window = tokens [s, s+k-1]; exclusive byte end is the space
+          // before token s+k, or end-of-string for the last window
+          val until = if (s + k < tokens) cuts(s + k) - 1 else n
+          InternalRow(s + 1L,
+            UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, cuts(s), until)))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowExplode =
+    copy(child = newChild)
+  override def prettyName: String = "token_windows"
+}
+
 object PassageExplode {
   /** SQL/call_function builder: `passages(text, k)` with a foldable
     * positive integer k (tokens per passage).
@@ -1184,6 +1271,7 @@ object CustomFunctions {
     ("json_get_long", JsonGetLong.fromExprs _, classOf[JsonGetLong]),
     ("token_stats", TokenStats.fromExprs _, classOf[TokenStats]),
     ("passages", PassageExplode.fromExprs _, classOf[PassageExplode]),
+    ("token_windows", TokenWindowExplode.fromExprs _, classOf[TokenWindowExplode]),
     ("word_redact", WordRedact.fromExprs _, classOf[WordRedact]),
     ("bloom_agg",
       (exprs: Seq[Expression]) =>

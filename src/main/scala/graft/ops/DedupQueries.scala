@@ -725,5 +725,99 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07, d08, d09)
+  // ---------------------------------------------------------------------
+  // d10 — exact duplicated-SPAN detection: find every maximal run of
+  // tokens that is part of some k-token window occurring ≥ 2 times
+  // corpus-wide (any position, same or different document) — the
+  // sliding-window realization of suffix-array exact-substring dedup
+  // (Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better", §4.1 ExactSubstr). Where d08 removes duplicate FIXED
+  // passages, d10 reports the precise duplicated token ranges at every
+  // alignment: per document, overlapping duplicated windows are merged
+  // into maximal spans (islands) and summarized as span count,
+  // duplicated-token count, and duplicated fraction.
+  //
+  // Pipeline: one `token_windows` byte scan emits each k-token sliding
+  // window with its 1-based start index; windows shuffle as 8-byte
+  // `md5_lower64` keys (never the window text — the strings live only
+  // map-side), a partial-aggregated groupBy finds keys with ≥ 2
+  // occurrences, a hash join marks the duplicated starts, and a per-doc
+  // window pass merges overlapping intervals: with fixed length k,
+  // sorted starts i_prev/i_cur belong to the same island iff
+  // i_cur ≤ i_prev + k, so islands are a lag-compare + running sum.
+  // Both engines compute the same 64-bit key (md5_number_lower ≡
+  // md5_lower64, the d04 contract), so a hash collision — P ≈ n²/2⁶⁵,
+  // and it only ever ADDS a span — is engine-consistent: outputs stay
+  // bit-identical.
+  //
+  // 100 TB posture: linear explode (one window per token), shuffles
+  // keyed by the 64-bit window hash (cardinality ≈ corpus tokens; a
+  // ubiquitous boilerplate window is ONE dup-key row, so the mark join
+  // fans out linearly, never quadratically), then doc-keyed windows and
+  // aggregates. Nothing is O(N²) and nothing reaches the driver.
+  // ---------------------------------------------------------------------
+  val spanLen = 8
+
+  val d10 = Q("d10_dedup_substring",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    md5_number_lower(array_to_string(list_slice(w, i, i + $spanLen - 1), ' ')) AS h
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - $spanLen + 1)) AS i) t
+       |  WHERE len(w) >= $spanLen),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+       |dw AS (SELECT doc_id, i FROM wins JOIN dup USING (h)),
+       |mark AS (SELECT doc_id, i,
+       |  CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + $spanLen
+       |    THEN 1 ELSE 0 END AS brk FROM dw),
+       |isl AS (SELECT doc_id, i,
+       |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM mark),
+       |spans AS (SELECT doc_id, island, min(i) AS s, max(i) + $spanLen - 1 AS e
+       |  FROM isl GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, count(*) AS n_spans,
+       |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+       |  FROM spans GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT t.doc_id, t.n_tokens,
+       |  COALESCE(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  COALESCE(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / t.n_tokens AS dup_fraction
+       |FROM tot t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    CustomFunctions.register(spark)
+    val k = spanLen
+    val docs = tableFan(spark, dir, "documents")
+    val wins = docs
+      .select(col("doc_id"), call_function("token_windows", col("text"), lit(k)))
+      .select(col("doc_id"), col("i"),
+        call_function("md5_lower64", col("win")).as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val dw = wins.join(dup, "h").select("doc_id", "i")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val spans = dw
+      .withColumn("brk",
+        when(col("i") > lag(col("i"), 1).over(byDoc) + k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + k - 1).as("e"))
+    val agg = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07, d08, d09, d10)
 }

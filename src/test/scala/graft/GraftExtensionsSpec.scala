@@ -58,6 +58,12 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT ngram_counts(array('a','b','a','b','a'), 2) AS (g, c)")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(nc === Seq(("a b", 2L), ("b a", 2L)))
+
+      // token_windows is a third generator → its own query
+      val tw = s2.sql(
+        "SELECT token_windows('a b c d', 3) AS (i, win)")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(tw === Seq((1L, "a b c"), (2L, "b c d")))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

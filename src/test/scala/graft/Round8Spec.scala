@@ -100,6 +100,49 @@ class Round8Spec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("token_windows equals the split/transform/posexplode composition") {
+    // pins the byte-scan generator against the declarative form it
+    // replaces, over the real corpus (incl. multi-space/empty-token docs)
+    val k = DedupQueries.spanLen
+    graft.functions.CustomFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val native = docs
+      .select(col("doc_id"), call_function("token_windows", col("text"), lit(k)))
+      .orderBy("doc_id", "i").collect().toSeq
+    val w = split(col("text"), " ")
+    val composed = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - k),
+        s => array_join(slice(col("w"), s + 1, lit(k)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("win"))
+      .orderBy("doc_id", "i").collect().toSeq
+    assert(native === composed)
+  }
+
+  test("d10 merges overlapping duplicated windows into maximal spans") {
+    val k = DedupQueries.spanLen // 8
+    val boiler = words("b", 12)
+    val dir = corpus(Seq(
+      0L -> (words("a", 10) + " " + boiler + " " + words("c", 5)), // B at 11..22
+      1L -> (words("d", 6) + " " + boiler + " " + words("e", 4)),  // B at 7..18
+      2L -> words("f", 30),                                        // no dups
+      3L -> (words("g", 8) + " " + words("h", 6) + " " + words("g", 8))))
+    val out = DedupQueries.d10.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // docs 0/1 share the 12-token boilerplate: window starts 11..15 /
+    // 7..11 are contiguous -> ONE span covering exactly the boilerplate
+    assert(out(0L) === ((27L, 1L, 12L, 12.0 / 27)))
+    assert(out(1L) === ((22L, 1L, 12L, 12.0 / 22)))
+    assert(out(2L) === ((30L, 0L, 0L, 0.0)))
+    // doc 3 repeats its own first 8 tokens at position 15: within-doc
+    // duplication, starts 1 and 15 are non-adjacent -> TWO spans
+    assert(out(3L) === ((22L, 2L, 16L, 16.0 / 22)))
+  }
+
   test("p11 shards are dense, uniform-keyed, and deterministic") {
     val a = TextQueries.p11.fn(spark, sf).collect().toSeq
     val b = TextQueries.p11.fn(spark, sf).collect().toSeq
