@@ -15,6 +15,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // TypedImperativeAggregate consumers (topk_agg, minhash128,
+      // simhash64) run under ObjectHashAggregateExec, whose default
+      // in-memory map cap is 128 keys per task — any realistic group
+      // count (s06: 20k vectors) immediately degrades to sort-based
+      // aggregation, sorting the full pre-agg input. Our agg buffers
+      // are all small and bounded (k-heaps, 128-long sketches), so a
+      // 256k-key map (≤ ~256 MB/task worst case) is safe and keeps the
+      // partial aggregation hash-based. Measured on s06 at sf1:
+      // ~15 s of the 52 s was this fallback's sort.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       // NOTE: measured, rejected: coalescePartitions.parallelismFirst=
       // false (size-first AQE coalescing) regressed the suite 31.5→45 s

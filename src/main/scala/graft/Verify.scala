@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // see Bench: keep ObjectHashAggregate partials hash-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

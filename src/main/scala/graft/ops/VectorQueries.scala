@@ -356,21 +356,52 @@ object VectorQueries {
   // ExtendedSpec pins cell consistency and dominance vs s01, and a
   // recall floor vs the exact answer.
   // ---------------------------------------------------------------------
+  /** Cell-count floor — and the exact count at every tested SF ≤ 0.1
+    * (≤ 4000 vectors), so growing the index never disturbs those
+    * fixtures or their specs.
+    */
   private val numCells = 16
+
+  /** Target members per cell. The within-cell consumers (p05's edge
+    * set, s06's kNN graph) do O(Σ|cell|²) work, so a FIXED cell count
+    * makes 10× data cost 100× — measured: s06 at sf1 spent 52 s on
+    * 43.6M pairs under 16 cells. Growing cells ∝ N/cellTargetSize keeps
+    * per-cell membership bounded and the total pair count LINEAR in the
+    * corpus (N · cellTargetSize) — the published SemDeDup/IVF scaling,
+    * where cluster count tracks corpus size. Same measurement after the
+    * growth (80 cells at sf1): 5.9M pairs, s06 7.5 s.
+    */
+  private val cellTargetSize = 250L
+
+  /** K-means training-input bound: above this, training runs on a
+    * seeded sample (standard IVF practice — FAISS trains on a bounded
+    * sample too). Keeps index-build cost O(sample · cells) instead of
+    * O(N · cells), which matters once cells also grows with N. Below
+    * the bound (every driver-tested SF) training sees every vector, so
+    * tested behavior is unchanged.
+    */
+  private val trainSampleCap = 100000L
 
   private val centroidsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Double]]]
 
-  /** K-means-trained IVF centroids, trained once per (session, dir).
-    * Assumes the dir's embeddings are immutable for the session's
-    * lifetime; [[invalidateCaches]] forces retraining.
+  /** K-means-trained IVF centroids, trained once per (session, dir):
+    * k = max(16, N / cellTargetSize) cells on (a bounded sample of) the
+    * corpus. Assumes the dir's embeddings are immutable for the
+    * session's lifetime; [[invalidateCaches]] forces retraining.
     */
   def trainedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     centroidsMemo.getOrElseUpdate((spark, dir), {
-      val feats = vectors(spark, dir)
+      // footer-only row count — no column scan
+      val n = table(spark, dir, "embeddings").count()
+      val k = math.max(numCells.toLong, n / cellTargetSize).toInt
+      val all = vectors(spark, dir)
         .select(org.apache.spark.ml.functions.array_to_vector(col("v")).as("features"))
+      val feats = if (n > trainSampleCap)
+        all.sample(withReplacement = false, trainSampleCap.toDouble / n, 7L)
+      else all
       new org.apache.spark.ml.clustering.KMeans()
-        .setK(numCells).setSeed(7L).setMaxIter(5)
+        .setK(k).setSeed(7L).setMaxIter(5)
         .fit(feats).clusterCenters.map(_.toArray)
     })
 
@@ -956,22 +987,32 @@ object VectorQueries {
   // a kNN graph rather than ad-hoc queries). Output is the ranked
   // adjacency list (vec_id, rank, neighbor_id, cos).
   //
-  // 100 TB posture: the within-cell pair generation is the p05 shape
-  // (O(Σ|cell|²), cells grown ∝ corpus), but the join key is SALTED —
-  // a fixed cell count is a low-cardinality shuffle key (16 cells caps
-  // parallelism at 16 tasks however many executors exist), so the left
-  // side carries bucket = vec_id % `knnSalt` and the right side
-  // replicates into all `knnSalt` buckets, making the key
-  // (cell, bucket): knnSalt× the parallelism for a knnSalt× replication
-  // of the (far smaller) probe side, with identical pair output. The
-  // per-vector top-k then partial-combines map-side via the
-  // bounded-heap topk_agg — only k rows per vector per partition reach
-  // the final shuffle, never the O(|cell|) candidate lists.
-  // Centroids are data-derived → oracle inlines the trained constants
-  // at dump time (soleCentroids), like s03/p05.
+  // Realized as a CELL-BLOCK SCAN (the d05 pattern): ONE shuffle of the
+  // N vectors keyed by cell, a within-partition sort, and a streaming
+  // per-block top-k scan. The earlier salted self-join form was
+  // measured memcpy-bound at sf1 — every one of its 12.5M joined rows
+  // copied two 64-double arrays through the exchange+SMJ before the
+  // one dot that consumed them (52 s under 16 cells, 10.6 s under 80)
+  // — while the block scan reads each vector into task memory ONCE and
+  // runs the O(|cell|²·dim) dot loop in place: 1.3 s at sf1, output
+  // bit-identical (Round8Spec pins it against the plain window form).
+  //
+  // 100 TB posture: cell is the partition key and the cell count grows
+  // ∝ corpus (cellTargetSize), so parallelism scales with the data and
+  // per-task memory is the largest single cell's vectors (blocks
+  // buffer one at a time off the sorted iterator, like d05). Per-cell
+  // work is the same Σ|cell|² the within-cell semantics define —
+  // bounded per cell by the index growth, linear in N overall.
+  //
+  // Bit-compatibility with the join/window form: cosines are the same
+  // strict ascending fold ÷ (‖a‖·‖b‖) ArrayDot computes, the top-k
+  // comparator is (cos DESC, id ASC) under java.lang.Double.compare
+  // (NaN-largest, Spark's double ordering), and singleton cells emit
+  // nothing, exactly like the self-join. Centroids are data-derived →
+  // oracle inlines the trained constants at dump time (soleCentroids),
+  // like s03/p05.
   // ---------------------------------------------------------------------
   val knnK = 3
-  private val knnSalt = 8
 
   val s06: Q = Q("s06_knn_graph",
     (spark, dir) => s06Body(spark, dir),
@@ -990,23 +1031,98 @@ object VectorQueries {
 
   private def s06Body(spark: SparkSession, dir: String): DataFrame = {
     val cs = trainedCentroids(spark, dir)
-    val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
-    val a = e.select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-      pmod(col("vec_id"), lit(knnSalt)).as("bucket"))
-    val b = e.select(col("vec_id").as("nb"), col("v").as("bv"),
-        col("nrm").as("bn"), col("cell"),
-        explode(sequence(lit(0L), lit((knnSalt - 1).toLong))).as("bucket"))
-    a.join(b, Seq("cell", "bucket"))
-      .filter(col("nb") =!= col("vec_id"))
-      .select(col("vec_id"), col("nb"),
-        (dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("cos"))
-      .groupBy("vec_id")
-      .agg(call_function("topk_agg",
-        struct(col("cos").as("ord"), col("nb").as("id")), lit(knnK)).as("top"))
-      .select(col("vec_id"), posexplode(col("top")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("neighbor_id"), col("col.ord").as("cos"))
+    import spark.implicits._
+    val typed = vectors(spark, dir)
+      .withColumn("cell", cellOf(col("v"), cs))
+      .select(col("vec_id").cast("long").as("_1"),
+        col("cell").cast("int").as("_2"),
+        col("v").as("_3"), col("nrm").cast("double").as("_4"))
+      .as[(Long, Int, Array[Double], Double)]
+    val scanned = typed
+      .repartition(col("_2"))
+      .sortWithinPartitions(col("_2"), col("_1"))
+      .mapPartitions { rows =>
+        // one consecutive-cell block in memory at a time (d05's
+        // streaming discipline): per-task memory is max(cell), not
+        // Σ(cells hashed to the partition)
+        val src = rows.buffered
+        new Iterator[(Long, Long, Long, Double)] {
+          private var out =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+          private var idx = 0
+          private def advance(): Unit =
+            while (idx >= out.length && src.hasNext) {
+              val cell = src.head._2
+              val block =
+                scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Double], Double)]
+              while (src.hasNext && src.head._2 == cell)
+                block += src.next()
+              out = scala.collection.mutable.ArrayBuffer.empty
+              idx = 0
+              knnBlock(block.toArray, knnK, out)
+            }
+          override def hasNext: Boolean = { advance(); idx < out.length }
+          override def next(): (Long, Long, Long, Double) = {
+            advance()
+            val r = out(idx); idx += 1; r
+          }
+        }
+      }
+    scanned.toDF("vec_id", "rank", "neighbor_id", "cos")
       .orderBy("vec_id", "rank")
+  }
+
+  /** Exact top-k neighbors for every vector of one cell block: the
+    * O(n²·dim) dot loop over in-memory primitive arrays, selection by
+    * (cos DESC, id ASC) via a k-slot insertion (k is small). Emits
+    * (vec_id, rank, neighbor_id, cos) rows, rank 1-based, ≤ k per
+    * vector (fewer in cells smaller than k+1; singletons emit nothing —
+    * self-join parity).
+    */
+  private def knnBlock(block: Array[(Long, Int, Array[Double], Double)], k: Int,
+      out: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]): Unit = {
+    val n = block.length
+    if (n < 2) return
+    var i = 0
+    while (i < n) {
+      val (id, _, v, nrm) = block(i)
+      val topCos = new Array[Double](k)
+      val topId = new Array[Long](k)
+      var filled = 0
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          val (jid, _, jv, jn) = block(j)
+          val len = math.min(v.length, jv.length)
+          var s = 0.0
+          var t = 0
+          while (t < len) { s += v(t) * jv(t); t += 1 }
+          val cos = s / (nrm * jn)
+          // insertion position under (cos DESC, id ASC); NaN-largest
+          // via java.lang.Double.compare, matching Spark's ordering
+          var p = filled
+          while (p > 0 && {
+            val c = java.lang.Double.compare(cos, topCos(p - 1))
+            c > 0 || (c == 0 && jid < topId(p - 1))
+          }) p -= 1
+          if (p < k) {
+            val last = math.min(filled, k - 1)
+            var q = last
+            while (q > p) { topCos(q) = topCos(q - 1); topId(q) = topId(q - 1); q -= 1 }
+            topCos(p) = cos
+            topId(p) = jid
+            if (filled < k) filled += 1
+          }
+        }
+        j += 1
+      }
+      var r = 0
+      while (r < filled) {
+        out += ((id, (r + 1).toLong, topId(r), topCos(r)))
+        r += 1
+      }
+      i += 1
+    }
   }
 
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, d05, p05, p10)

@@ -78,7 +78,7 @@ class Round8Spec extends SparkSpec {
     assert(got === naive)
   }
 
-  test("s06 salted within-cell kNN equals the plain window form") {
+  test("s06 cell-block kNN scan equals the plain window form") {
     val got = VectorQueries.s06.fn(spark, sf).collect().toSeq
     // plain form: unsalted cell self-join + rank window (same cos expr)
     val cs = VectorQueries.trainedCentroids(spark, sf)
