@@ -745,8 +745,85 @@ object VectorQueries {
     semanticEdgesMemo.getOrElseUpdate((spark, dir),
       semanticEdgesUncached(spark, dir).cache())
 
-  /** The un-memoized edge computation (spec use). */
+  /** The un-memoized edge computation: a cell-block scan (the s06/d05
+    * pattern — one shuffle of N vectors keyed by cell, per-block dot
+    * loop over in-memory primitive arrays), replacing the within-cell
+    * self-join that copied both 64-double arrays through the exchange
+    * for every candidate pair before the one dot that consumed them.
+    * Emits exactly the join form's edge set — (a, b) with a < b, same
+    * cell, cosine ≥ threshold, identical strict-fold dots —
+    * SemanticDedupSpec pins the set equality. Per-task memory is the
+    * largest cell's vectors plus its (threshold-sparse) edge output.
+    */
   def semanticEdgesUncached(spark: SparkSession, dir: String): DataFrame = {
+    val cs = trainedCentroids(spark, dir)
+    import spark.implicits._
+    val thr = semanticThreshold
+    val typed = vectors(spark, dir)
+      .withColumn("cell", cellOf(col("v"), cs))
+      .select(col("vec_id").cast("long").as("_1"),
+        col("cell").cast("int").as("_2"),
+        col("v").as("_3"), col("nrm").cast("double").as("_4"))
+      .as[(Long, Int, Array[Double], Double)]
+    typed
+      .repartition(col("_2"))
+      .sortWithinPartitions(col("_2"), col("_1"))
+      .mapPartitions { rows =>
+        val src = rows.buffered
+        new Iterator[(Long, Long)] {
+          private var out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          private var idx = 0
+          private def advance(): Unit =
+            while (idx >= out.length && src.hasNext) {
+              val cell = src.head._2
+              val block =
+                scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Double], Double)]
+              while (src.hasNext && src.head._2 == cell)
+                block += src.next()
+              out = scala.collection.mutable.ArrayBuffer.empty
+              idx = 0
+              edgeBlock(block.toArray, thr, out)
+            }
+          override def hasNext: Boolean = { advance(); idx < out.length }
+          override def next(): (Long, Long) = {
+            advance()
+            val r = out(idx); idx += 1; r
+          }
+        }
+      }
+      .toDF("a", "b")
+  }
+
+  /** Threshold edges of one cell block: every (a, b), a < b, with
+    * cosine ≥ thr — the same ascending-fold dot ÷ norms the join form
+    * evaluates. Rows arrive sorted by vec_id, so i < j implies
+    * id_i < id_j and the half loop emits each pair once, a < b.
+    */
+  private def edgeBlock(block: Array[(Long, Int, Array[Double], Double)],
+      thr: Double,
+      out: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
+    val n = block.length
+    var i = 0
+    while (i < n) {
+      val (ida, _, va, na) = block(i)
+      var j = i + 1
+      while (j < n) {
+        val (idb, _, vb, nb) = block(j)
+        val len = math.min(va.length, vb.length)
+        var s = 0.0
+        var t = 0
+        while (t < len) { s += va(t) * vb(t); t += 1 }
+        if (s / (na * nb) >= thr) out += ((ida, idb))
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** The superseded self-join edge form — kept as the declarative
+    * reference SemanticDedupSpec pins the block scan against.
+    */
+  def semanticEdgesJoinForm(spark: SparkSession, dir: String): DataFrame = {
     val cs = trainedCentroids(spark, dir)
     val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
     val a = e.select(col("vec_id").as("a"), col("cell"),

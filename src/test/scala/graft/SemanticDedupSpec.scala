@@ -64,6 +64,14 @@ class SemanticDedupSpec extends SparkSpec {
     assert(sparkEdges.nonEmpty, "fixture produced no semantic near-dup edges")
   }
 
+  test("p05 block-scan edges equal the superseded self-join form") {
+    val scan = VectorQueries.semanticEdgesUncached(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val join = VectorQueries.semanticEdgesJoinForm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scan == join)
+  }
+
   test("p05 cluster ids are the exact connected components of the edge set") {
     val expect = bruteComponents(rows.map(_._1).toSeq, bruteEdges)
     rows.foreach { case (id, _, cid, _) =>
