@@ -168,6 +168,27 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("TokenWindowExplode: byte-scan windows equal split→sliding→join on the string") {
+    // tokens may be empty (consecutive/leading/trailing spaces) and
+    // multi-byte (codepoint safety of the byte cuts)
+    val tok = Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const('é'))).map(_.mkString)
+    val gen = for {
+      toks <- Gen.listOf(tok)
+      k <- Gen.choose(1, 4)
+    } yield (toks.mkString(" "), k)
+    check(Prop.forAll(gen) { case (text, k) =>
+      val rows = graft.functions.TokenWindowExplode(
+        Literal(UTF8String.fromString(text), StringType), k)
+        .eval(InternalRow.empty).iterator.toList
+        .map(r => (r.getLong(0), r.getUTF8String(1).toString))
+      val toks = text.split(" ", -1).toList
+      val want = if (toks.length < k) Nil
+      else toks.sliding(k).zipWithIndex
+        .map { case (w, i) => (i + 1L, w.mkString(" ")) }.toList
+      rows == want
+    })
+  }
+
   test("NGramStats: equals the explode→group-count model for arbitrary token arrays") {
     val tok = Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const('a'))).map(_.mkString)
     val gen = for {
