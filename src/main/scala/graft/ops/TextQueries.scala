@@ -945,6 +945,57 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
+  // ---------------------------------------------------------------------
+  // t11 — TF-IDF keyword extraction: each document's top-3 terms by
+  // tf · (N/df) — the inverse-document-frequency keyword score (the
+  // ratio variant rather than ln(N/df): ln differs in ULPs between
+  // libm and the JVM, while tf·N is integer-exact in a double and the
+  // single division is correctly rounded in both engines, keeping the
+  // compare bitwise). The per-corpus document-frequency table is the
+  // same relation an IDF-weighted quality filter or keyword indexer
+  // consumes.
+  //
+  // 100 TB posture: tf is a (doc, term) groupBy, df a term-keyed
+  // groupBy OVER tf (already doc-distinct — no two-phase distinct
+  // aggregate), the scalar N is a 1-row broadcast cross join (q41's
+  // sanctioned pattern), and the top-3 rank windows per document —
+  // group size bounded by document vocabulary, never corpus-wide.
+  // ---------------------------------------------------------------------
+  val keywordK = 3
+
+  val t11 = Q("t11_keywords_tfidf",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id, t.tok,
+       |    CAST(t.tf * n.n AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+       |  FROM tf t JOIN df d USING (tok) CROSS JOIN n),
+       |ranked AS (SELECT doc_id, tok, score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS term, score
+       |FROM ranked WHERE rank <= $keywordK ORDER BY doc_id, rank""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = sharedToks(spark, dir)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = tableFan(spark, dir, "documents").groupBy().count().select(col("count").as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        ((col("tf") * col("n")).cast("double") / col("df").cast("double")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= keywordK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tok").as("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11,
     p01, p02, p03, p04, p06, p07, p08, p09, p11)
 }

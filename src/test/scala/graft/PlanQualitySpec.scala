@@ -26,7 +26,8 @@ class PlanQualitySpec extends SparkSpec {
       "s04_ann_pq_adc", // ADC scan: broadcast bounded query batch, like s01
       "s05_mmr_diversify", // pool stage reuses s01's broadcast shortlist shape
       "p10_embed_decontaminate", // broadcast bounded benchmark batch, s01 shape
-      "q41_gapfill") // grid = users × broadcast 1-row (minHour, maxHour) bounds
+      "q41_gapfill", // grid = users × broadcast 1-row (minHour, maxHour) bounds
+      "t11_keywords_tfidf") // scalar N = broadcast 1-row cross join
     SparkEntry.queries.keys.foreach { name =>
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -143,6 +143,26 @@ class Round8Spec extends SparkSpec {
     assert(out(3L) === ((22L, 2L, 16L, 16.0 / 22)))
   }
 
+  test("t11 ranks terms by tf·(N/df), ties to the lexicographically smaller term") {
+    // 4 docs: "rare" appears only in doc 0 (df=1), "dup" in doc 0 twice
+    // (tf=2, df=2), "common" everywhere (df=4)
+    val dir = corpus(Seq(
+      0L -> "rare dup dup common",
+      1L -> "dup common x1 x2",
+      2L -> "common y1 y2 y3",
+      3L -> "common z1 z2 z3"))
+    val out = TextQueries.t11.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val doc0 = out.filter(_._1 == 0L).map(t => (t._2, t._3, t._4)).toSeq
+    // doc 0 scores: rare 1·4/1 = 4, dup 2·4/2 = 4, common 1·4/4 = 1
+    // tie at 4.0 → "dup" < "rare" lexicographically
+    assert(doc0 === Seq((1L, "dup", 4.0), (2L, "rare", 4.0), (3L, "common", 1.0)))
+    // every doc emits exactly min(3, |vocab|) rows, ranks 1..k
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
   test("p11 shards are dense, uniform-keyed, and deterministic") {
     val a = TextQueries.p11.fn(spark, sf).collect().toSeq
     val b = TextQueries.p11.fn(spark, sf).collect().toSeq
