@@ -125,18 +125,108 @@ object ExtendedQueries {
 
   // ---------------------------------------------------------------------
   // q20 — approximate distinct (§2.4: the scale answer to COUNT
-  // DISTINCT): HyperLogLog++ sketch. Sketch values are engine-specific →
-  // rows-only; ExtendedSpec pins the relative error bound against the
-  // exact count (the exact count lives in the SPEC, not the measured
-  // query — at 100 TB the whole point of the sketch is never paying the
-  // exact distinct's full key-set shuffle).
+  // DISTINCT): a RELATIONAL HyperLogLog (Flajolet et al. 2007), built
+  // so the whole sketch is oracle-recomputable — the same trick that
+  // oracled t06's count-min (TextQueries.scala): Spark's builtin
+  // `approx_count_distinct` carries engine-internal HLL++ bias tables
+  // no oracle can recompute, so rounds ≤8 ran it rows-only. Here both
+  // engines derive identical registers from `md5_lower64` /
+  // `md5_number_lower` (full-64-bit-twin hash, see Md5Lower64):
+  // register index j = low p bits; rank ρ = leading-zero run of the
+  // remaining 64-p bits + 1, computed PORTABLY as
+  // (64-p+1) - length(bin(w)) — `bin()` (exact integer → binary
+  // string) exists in both engines, unlike count-leading-zeros, and
+  // avoids floor(log2(w)) whose double rounding can misclassify exact
+  // powers of two. The harmonic sum Σ 2^-M[j] is kept EXACT as the
+  // integer Σ 2^(62-M[j]) (a shiftleft per register, always in
+  // ±2⁶³ for p ≥ 3) summed into DECIMAL(38,0); the only float ops are
+  // one correctly-rounded decimal→double read-back (via VARCHAR on the
+  // DuckDB side — its direct decimal→double double-rounds) and one IEEE
+  // division by the inlined constant α·m²·2⁶² — bit-identical in both
+  // engines, so the estimate hash-matches.
+  //
+  // 100 TB posture: identical to the builtin's — one map-side-combined
+  // groupBy whose key space is bounded at |groups|·m registers
+  // regardless of input rows (the fact-table scan reduces to ≤ m longs
+  // per group per task before the shuffle), then a grid left-join over
+  // the |groups|·m relation. Never pays exact-distinct's full key-set
+  // shuffle. ExtendedSpec pins the error vs the exact twin for BOTH
+  // this estimator and the spec-only builtin twin (q20Builtin).
   // ---------------------------------------------------------------------
-  val q20 = Q.noOracle("q20_approx_distinct") { (spark, dir) =>
+  private val hllP = 9
+  private val hllM = 1 << hllP // 512 registers → rsd ≈ 1.04/√512 ≈ 4.6%
+  private val hllMaxRho = 64 - hllP + 1
+  // α_m·m²·2⁶² — same IEEE evaluation order as the oracle's inlined
+  // literal (Scala Double.toString is shortest-round-trip; DuckDB
+  // parses it back correctly-rounded to the identical double).
+  private val hllC: Double =
+    0.7213 / (1d + 1.079 / hllM) * hllM * hllM * math.pow(2d, 62d)
+
+  val q20 = Q("q20_approx_distinct",
+    s"""WITH h AS (
+       |  SELECT l_returnflag AS flag,
+       |         md5_number_lower(CAST(l_orderkey AS VARCHAR)) AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT flag, CAST(h & ${hllM - 1} AS BIGINT) AS j,
+       |         CASE WHEN (h >> $hllP) = 0 THEN $hllMaxRho
+       |              ELSE $hllMaxRho - length(bin(h >> $hllP)) END AS rho
+       |  FROM h),
+       |reg AS (SELECT flag, j, MAX(rho) AS m FROM r GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT f.flag, g.j
+       |  FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem) f
+       |  CROSS JOIN (SELECT unnest(range(0, $hllM)) AS j) g),
+       |full_reg AS (
+       |  SELECT g.flag, COALESCE(reg.m, 0) AS m
+       |  FROM grid g LEFT JOIN reg ON g.flag = reg.flag AND g.j = reg.j),
+       |s AS (
+       |  SELECT flag, SUM(CAST(1::BIGINT << (62 - m) AS DECIMAL(38,0))) AS ssum
+       |  FROM full_reg GROUP BY 1)
+       |SELECT flag AS l_returnflag,
+       |       -- FLOOR: Spark's double→long cast truncates; DuckDB's rounds
+       |       CAST(FLOOR($hllC / CAST(CAST(ssum AS VARCHAR) AS DOUBLE)) AS BIGINT)
+       |         AS approx_orders,
+       |       $hllC / CAST(CAST(ssum AS VARCHAR) AS DOUBLE) AS approx_raw
+       |FROM s ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    graft.functions.CustomFunctions.register(spark)
+    val li = table(spark, dir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      call_function("md5_lower64", col("l_orderkey").cast("string")).as("h"))
+    // w = h >>> p is non-negative, so Spark's signed bin() equals
+    // DuckDB's unsigned bin() — no sign-extension divergence.
+    val w = shiftrightunsigned(col("h"), hllP)
+    val reg = li
+      .select(col("flag"),
+        col("h").bitwiseAND(lit((hllM - 1).toLong)).as("j"),
+        when(w === 0L, lit(hllMaxRho))
+          .otherwise(lit(hllMaxRho) - length(bin(w))).as("rho"))
+      .groupBy("flag", "j").agg(max(col("rho")).as("m"))
+    val grid = li.select("flag").distinct()
+      .select(col("flag"), explode(sequence(lit(0L), lit((hllM - 1).toLong))).as("j"))
+    val est = lit(hllC) /
+      sum(call_function("shiftleft", lit(1L), lit(62) - col("m"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double")
+    grid.join(reg, Seq("flag", "j"), "left")
+      .na.fill(0, Seq("m"))
+      .groupBy("flag").agg(est.as("approx_raw"))
+      .select(col("flag").as("l_returnflag"),
+        col("approx_raw").cast("long").as("approx_orders"),
+        col("approx_raw"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Spark's builtin HLL++ — kept as a spec-pinned twin of the oracled
+    * relational estimator (its bias tables are engine-internal, so it
+    * can never hash-match an oracle; the spec pins its error bound).
+    */
+  def q20Builtin(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy("l_returnflag")
-  }
 
   /** The exact twin q20's error-bound spec compares against — not part
     * of the measured query (see q20's scaladoc).

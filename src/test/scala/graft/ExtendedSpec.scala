@@ -10,16 +10,24 @@ import graft.ops.{ExtendedQueries, SkewJoin, VectorQueries}
 class ExtendedSpec extends SparkSpec {
   import spark.implicits._
 
-  test("q20: HLL++ approximate distinct within its declared 2% rsd of exact") {
-    val rows = ExtendedQueries.q20.fn(spark, sf).collect()
-    assert(rows.nonEmpty)
+  test("q20: relational HLL and builtin HLL++ both within error bound of exact") {
     val exact = ExtendedQueries.q20Exact(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("exact_orders").toDouble).toMap
+    // Oracled relational HLL (m=512 → rsd ≈ 4.6%; allow ~2.2σ).
+    val rows = ExtendedQueries.q20.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_orders").toDouble
       val e = exact(r.getString(0))
       assert(math.abs(approx - e) / e < 0.1,
-        s"${r.getString(0)}: approx=$approx exact=$e")
+        s"relational ${r.getString(0)}: approx=$approx exact=$e")
+    }
+    // Spec-pinned builtin twin (engine-internal bias tables → no oracle).
+    ExtendedQueries.q20Builtin(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val e = exact(r.getString(0))
+      assert(math.abs(approx - e) / e < 0.1,
+        s"builtin ${r.getString(0)}: approx=$approx exact=$e")
     }
   }
 
