@@ -101,10 +101,11 @@ object DedupQueries {
     * references the memo keys pin.
     */
   def invalidateCaches(): Unit = {
-    Seq(gramsMemo, setsMemo, bandsMemo, chunksMemo, simMemo).foreach { m =>
-      m.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-      m.clear()
-    }
+    Seq(gramsMemo, setsMemo, bandsMemo, chunksMemo, simMemo, winsMemo)
+      .foreach { m =>
+        m.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+        m.clear()
+      }
     prefixMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     prefixMemo.clear()
   }
@@ -651,13 +652,19 @@ object DedupQueries {
   //           oracle is the exact computation.
   // Verdict: 'exact' ≻ 'near' ≻ 'new'.
   //
-  // 100 TB posture: the delta is small relative to the base, so its
-  // hash set and band keys BROADCAST — both joins are map-side probes
-  // of base-side relations that in a real deployment are persisted
-  // indexes (content-hash table, LSH band index) appended per batch,
-  // never rebuilt; here both sides come from the session-shared
-  // sharedBands/sharedGramSets caches. Nothing is O(N²) in the base and
-  // nothing rescans previously-deduped batches.
+  // 100 TB posture: the delta is normally small relative to the base,
+  // so its hash set and band keys broadcast and both joins become
+  // map-side probes of base-side relations that in a real deployment
+  // are persisted indexes (content-hash table, LSH band index) appended
+  // per batch, never rebuilt. Crucially the broadcast is NOT hinted:
+  // AQE decides from the delta side's RUNTIME size, so a daily 0.1%
+  // increment broadcasts while an oversized backfill delta (10% of
+  // 100 TB does not fit any driver) degrades to an ordinary shuffled
+  // hash join instead of OOMing — IncrementalDedupSpec pins both the
+  // no-broadcast degrade plan and output equality under it. Here both
+  // sides come from the session-shared sharedBands/sharedGramSets
+  // caches. Nothing is O(N²) in the base and nothing rescans
+  // previously-deduped batches.
   // ---------------------------------------------------------------------
   val d09 = Q("d09_incremental_dedup",
     s"""WITH $trigramCte,
@@ -687,27 +694,40 @@ object DedupQueries {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
        |LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
-  ) { (spark, dir) =>
+  ) { (spark, dir) => d09Core(spark, dir, deltaRem = 9) }
+
+  /** d09's pipeline with the batch-membership rule as a parameter
+    * (`doc_id % 10 = deltaRem` → delta): the measured query uses
+    * rem 9 (~10% delta); IncrementalDedupSpec also drives an INVERTED
+    * majority-delta split to prove the joins hold with no broadcast
+    * hint — AQE picks broadcast vs shuffled hash join from the delta's
+    * runtime size (see the 100 TB-posture note above).
+    */
+  def d09Core(spark: SparkSession, dir: String, deltaRem: Int,
+      invert: Boolean = false): DataFrame = {
     CustomFunctions.register(spark)
     val docs = table(spark, dir, "documents")
-    val isDelta = col("doc_id") % 10 === 9
+    def deltaSide(id: Column): Column =
+      if (invert) id % 10 =!= deltaRem else id % 10 === deltaRem
+    val isDelta = deltaSide(col("doc_id"))
     val delta = docs.filter(isDelta).select(col("doc_id"))
-    // exact rung: the (small) delta hash set broadcasts; the base side
-    // streams through a map-side hash join
+    // exact rung: no broadcast hint — AQE broadcasts the delta hash set
+    // when its runtime size allows, else plans a shuffled hash join
     val deltaHash = docs.filter(isDelta)
       .select(col("doc_id"), md5(col("text")).as("h"))
     val baseHash = docs.filter(!isDelta)
       .select(md5(col("text")).as("h"), col("doc_id").as("bid"))
-    val exact = baseHash.join(broadcast(deltaHash), "h")
+    val exact = baseHash.join(deltaHash, "h")
       .groupBy("doc_id").agg(min("bid").as("exact_of"))
-    // near rung: delta band keys (broadcast) probe the base band index
+    // near rung: delta band keys probe the base band index (same
+    // AQE-decided strategy)
     val bands = sharedBands(spark, dir)
-    val deltaBands = bands.filter(col("doc_id") % 10 === 9)
+    val deltaBands = bands.filter(deltaSide(col("doc_id")))
       .toDF("a", "band_a", "bh_a")
-    val baseBands = bands.filter(col("doc_id") % 10 =!= 9)
+    val baseBands = bands.filter(!deltaSide(col("doc_id")))
       .toDF("b", "band_b", "bh_b")
     val candidates = baseBands
-      .join(broadcast(deltaBands),
+      .join(deltaBands,
         col("band_a") === col("band_b") && col("bh_a") === col("bh_b"))
       .select("a", "b").distinct()
     val near = exactJaccard(candidates, sharedGramSets(spark, dir))
@@ -758,6 +778,30 @@ object DedupQueries {
   // ---------------------------------------------------------------------
   val spanLen = 8
 
+  /** Session memo of the k-token sliding-window relation
+    * `(doc_id, i, h)` — the `token_windows` explode + per-window
+    * `md5_lower64`. d10 references it from BOTH its dup-key aggregate
+    * and its mark join, and d11 consumes it again for pair attribution;
+    * un-memoized, the corpus byte-scan + hashing ran once per
+    * reference (the ADVICE double-scan). Same contract as
+    * [[sharedGrams]]: immutable dir per session, released by
+    * [[invalidateCaches]]. At 100 TB the equivalent is materializing
+    * the window-hash relation once per corpus snapshot.
+    */
+  private val winsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def sharedWins(spark: SparkSession, dir: String): DataFrame =
+    winsMemo.getOrElseUpdate((spark, dir), {
+      CustomFunctions.register(spark)
+      tableFan(spark, dir, "documents")
+        .select(col("doc_id"),
+          call_function("token_windows", col("text"), lit(spanLen)))
+        .select(col("doc_id"), col("i"),
+          call_function("md5_lower64", col("win")).as("h"))
+        .cache()
+    })
+
   val d10 = Q("d10_dedup_substring",
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |wins AS (
@@ -790,10 +834,7 @@ object DedupQueries {
     CustomFunctions.register(spark)
     val k = spanLen
     val docs = tableFan(spark, dir, "documents")
-    val wins = docs
-      .select(col("doc_id"), call_function("token_windows", col("text"), lit(k)))
-      .select(col("doc_id"), col("i"),
-        call_function("md5_lower64", col("win")).as("h"))
+    val wins = sharedWins(spark, dir)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val dw = wins.join(dup, "h").select("doc_id", "i")
@@ -819,5 +860,54 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07, d08, d09, d10)
+  // ---------------------------------------------------------------------
+  // d11 — cross-document span ATTRIBUTION: d10 reports how much of each
+  // document is duplicated; d11 reports FROM WHERE — for every document
+  // containing a k-token window whose first corpus occurrence lies in
+  // an earlier document, the (src_doc, dup_doc) pair and the number of
+  // distinct shared window keys (Lee et al. §4.1's ExactSubstr pair
+  // output, star-attributed to the first occurrence the way d07/d08
+  // attribute kept copies to min doc_id).
+  //
+  // Deliberately NOT the all-pairs self-join on h: a boilerplate window
+  // present in c documents would fan out c²/2 pairs per key — quadratic
+  // in the posting list, the exact trap d02/d06 avoid. Attributing
+  // every posting to its key's MIN doc emits ≤ 1 pair-count increment
+  // per posting: the whole query is linear in corpus tokens, and every
+  // join/aggregate keys on the 8-byte window hash or the (src, doc)
+  // pair — the window strings never shuffle. The h-keyed distinct,
+  // min-aggregate, and join all reuse one hash partitioning.
+  //
+  // 100 TB posture: same as d10 (shared `sharedWins` relation — one
+  // byte scan for both queries in a session); postings shuffle once by
+  // hash, pair counts are a bounded second aggregate. Keys whose
+  // occurrences all sit inside one document yield no pair (within-doc
+  // repetition is d10/t08's business); self-pairs are excluded by the
+  // src ≠ doc filter, mirroring d09's base-only matching.
+  // ---------------------------------------------------------------------
+  val d11 = Q("d11_dedup_span_pairs",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |    md5_number_lower(array_to_string(list_slice(w, i, i + $spanLen - 1), ' ')) AS h
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - $spanLen + 1)) AS i) t
+       |  WHERE len(w) >= $spanLen),
+       |wd AS (SELECT DISTINCT h, doc_id FROM wins),
+       |srcs AS (SELECT h, min(doc_id) AS src FROM wd GROUP BY 1)
+       |SELECT s.src AS src_doc, w.doc_id AS dup_doc, count(*) AS n_windows
+       |FROM wd w JOIN srcs s USING (h)
+       |WHERE w.doc_id <> s.src
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (spark, dir) =>
+    CustomFunctions.register(spark)
+    val wd = sharedWins(spark, dir).select("h", "doc_id").distinct()
+    val srcs = wd.groupBy("h").agg(min("doc_id").as("src"))
+    wd.join(srcs, "h")
+      .filter(col("doc_id") =!= col("src"))
+      .groupBy(col("src").as("src_doc"), col("doc_id").as("dup_doc"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy("src_doc", "dup_doc")
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07, d08, d09, d10, d11)
 }

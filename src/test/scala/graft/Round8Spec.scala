@@ -55,6 +55,53 @@ class Round8Spec extends SparkSpec {
     assert(out === Map(9L -> "new", 19L -> "new"))
   }
 
+  test("d09 output is broadcast-independent and degrades to shuffled joins") {
+    val base3 = words("x", 30)
+    val base4 = words("y", 30)
+    val dir = corpus(Seq(
+      0L -> words("a", 30), 1L -> words("b", 30), 2L -> words("c", 30),
+      3L -> base3, 4L -> base4,
+      9L -> base3, 19L -> (base4 + " extra"), 29L -> words("z", 30)))
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val normal = canon(DedupQueries.d09.fn(spark, dir).collect())
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // With broadcast disabled entirely, an explicit broadcast() hint
+      // would still force a driver-side build — the oversized-delta OOM
+      // VERDICT flagged. No hint → AQE degrades to shuffled joins and
+      // the output is unchanged.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = DedupQueries.d09.fn(spark, dir)
+      assert(canon(df.collect()) === normal)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastExchange"),
+        s"degrade plan still broadcasts:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("d09 joins hold under an inverted majority-delta split") {
+    val t1 = words("x", 30)
+    val t2 = words("y", 30)
+    // base = doc_id % 10 == 9 (minority); delta = everything else — the
+    // oversized-backfill shape where the delta side must NOT broadcast
+    // unconditionally.
+    val dir = corpus(Seq(
+      9L -> t1, 19L -> t2,
+      0L -> t1,                  // delta: exact copy of base doc 9
+      1L -> (t2 + " extra"),     // delta: near copy of base doc 19
+      2L -> words("z", 30)))     // delta: novel
+    val out = DedupQueries.d09Core(spark, dir, deltaRem = 9, invert = true)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(0L) === ((9L, 9L, "exact")))
+    assert(out(1L) === ((-1L, 19L, "near")))
+    assert(out(2L) === ((-1L, -1L, "new")))
+  }
+
   test("p10 equals the naive window-form max-cosine recomputation") {
     val got = VectorQueries.p10.fn(spark, sf).collect().toSeq
     // naive form: all (corpus, bench) cosines, rank window, rn = 1
