@@ -24,6 +24,14 @@ object Bench {
       // 256k-key map (≤ ~256 MB/task worst case) is safe and keeps the
       // partial aggregation hash-based. Measured on s06 at sf1:
       // ~15 s of the 52 s was this fallback's sort.
+      // CAVEAT: the threshold is session-global and also governs
+      // bloom_agg (BloomFilterAggregate), whose per-key buffer is
+      // MB-scale — the ~256 MB bound above holds ONLY for the
+      // small-buffer aggregates named here. q33's bloom_agg is an
+      // ungrouped (single-key) aggregate so it never approaches the
+      // map cap; any FUTURE high-cardinality groupBy + bloom_agg must
+      // set this per-query (extraConf) instead of relying on the
+      // global value.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "262144")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }

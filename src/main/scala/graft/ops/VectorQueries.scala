@@ -373,14 +373,23 @@ object VectorQueries {
     */
   private val cellTargetSize = 250L
 
-  /** K-means training-input bound: above this, training runs on a
+  /** K-means training-input floor: above this, training runs on a
     * seeded sample (standard IVF practice — FAISS trains on a bounded
     * sample too). Keeps index-build cost O(sample · cells) instead of
     * O(N · cells), which matters once cells also grows with N. Below
     * the bound (every driver-tested SF) training sees every vector, so
-    * tested behavior is unchanged.
+    * tested behavior is unchanged. Because k itself grows as
+    * N/cellTargetSize, the ACTUAL sample target scales with k
+    * (`trainPerCell` points per centroid, FAISS's ~39-minimum
+    * neighborhood): a fixed 100k sample would drop below k around
+    * N ≈ 25M vectors and produce degenerate duplicate centroids.
     */
   private val trainSampleCap = 100000L
+
+  /** Training points per centroid once the k-derived target exceeds
+    * [[trainSampleCap]] (k·40 > 100k ⇔ N > 25M vectors).
+    */
+  private val trainPerCell = 40L
 
   private val centroidsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Double]]]
@@ -397,8 +406,11 @@ object VectorQueries {
       val k = math.max(numCells.toLong, n / cellTargetSize).toInt
       val all = vectors(spark, dir)
         .select(org.apache.spark.ml.functions.array_to_vector(col("v")).as("features"))
-      val feats = if (n > trainSampleCap)
-        all.sample(withReplacement = false, trainSampleCap.toDouble / n, 7L)
+      // sample scales with k so the training set never drops below the
+      // centroid count (see trainSampleCap / trainPerCell)
+      val sampleTarget = math.max(trainSampleCap, trainPerCell * k)
+      val feats = if (n > sampleTarget)
+        all.sample(withReplacement = false, sampleTarget.toDouble / n, 7L)
       else all
       new org.apache.spark.ml.clustering.KMeans()
         .setK(k).setSeed(7L).setMaxIter(5)
@@ -769,20 +781,37 @@ object VectorQueries {
       .repartition(col("_2"))
       .sortWithinPartitions(col("_2"), col("_1"))
       .mapPartitions { rows =>
+        // Per-task memory = one cell block (vectors) + ONE OUTER ROW's
+        // edges: edges stream per outer row instead of buffering the
+        // whole block's O(|cell|²)-worst-case edge list (the ADVICE
+        // straggler/OOM risk). Block residency itself is bounded by the
+        // largest cell — k-means cells are skew-unbounded in principle,
+        // but cell counts grow ∝ N (cellTargetSize) and a cell would
+        // need ~10⁶× its 250-member target before vectors alone
+        // threatened executor memory; the per-row edge buffer removes
+        // the edge-list term, which was the part that grew with
+        // within-cell similarity, not just cell size.
         val src = rows.buffered
         new Iterator[(Long, Long)] {
-          private var out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          private var block: Array[(Long, Int, Array[Double], Double)] = Array.empty
+          private var i = 0 // outer-row cursor within block
+          private val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
           private var idx = 0
           private def advance(): Unit =
-            while (idx >= out.length && src.hasNext) {
-              val cell = src.head._2
-              val block =
-                scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Double], Double)]
-              while (src.hasNext && src.head._2 == cell)
-                block += src.next()
-              out = scala.collection.mutable.ArrayBuffer.empty
-              idx = 0
-              edgeBlock(block.toArray, thr, out)
+            while (idx >= out.length && (i < block.length || src.hasNext)) {
+              if (i >= block.length) {
+                val cell = src.head._2
+                val buf =
+                  scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Double], Double)]
+                while (src.hasNext && src.head._2 == cell)
+                  buf += src.next()
+                block = buf.toArray
+                i = 0
+              } else {
+                out.clear(); idx = 0
+                edgeRow(block, i, thr, out)
+                i += 1
+              }
             }
           override def hasNext: Boolean = { advance(); idx < out.length }
           override def next(): (Long, Long) = {
@@ -794,29 +823,28 @@ object VectorQueries {
       .toDF("a", "b")
   }
 
-  /** Threshold edges of one cell block: every (a, b), a < b, with
-    * cosine ≥ thr — the same ascending-fold dot ÷ norms the join form
-    * evaluates. Rows arrive sorted by vec_id, so i < j implies
-    * id_i < id_j and the half loop emits each pair once, a < b.
+  /** Threshold edges of ONE outer row `i` against the rest of its cell
+    * block: every (a, b), a = id_i < b, with cosine ≥ thr — the same
+    * ascending-fold dot ÷ norms the join form evaluates. Rows arrive
+    * sorted by vec_id, so i < j implies id_i < id_j and the half loop
+    * emits each pair once, a < b, in the same (i, j) order the old
+    * whole-block form produced.
     */
-  private def edgeBlock(block: Array[(Long, Int, Array[Double], Double)],
+  private def edgeRow(block: Array[(Long, Int, Array[Double], Double)],
+      i: Int,
       thr: Double,
       out: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
     val n = block.length
-    var i = 0
-    while (i < n) {
-      val (ida, _, va, na) = block(i)
-      var j = i + 1
-      while (j < n) {
-        val (idb, _, vb, nb) = block(j)
-        val len = math.min(va.length, vb.length)
-        var s = 0.0
-        var t = 0
-        while (t < len) { s += va(t) * vb(t); t += 1 }
-        if (s / (na * nb) >= thr) out += ((ida, idb))
-        j += 1
-      }
-      i += 1
+    val (ida, _, va, na) = block(i)
+    var j = i + 1
+    while (j < n) {
+      val (idb, _, vb, nb) = block(j)
+      val len = math.min(va.length, vb.length)
+      var s = 0.0
+      var t = 0
+      while (t < len) { s += va(t) * vb(t); t += 1 }
+      if (s / (na * nb) >= thr) out += ((ida, idb))
+      j += 1
     }
   }
 
