@@ -9,7 +9,7 @@ import graft.schema.Schemas
 /** Batch ingestion analogue of the reference's chain-sync extraction
   * loop (/root/reference/ogmios_parquet.py:574-818), re-expressed as one
   * distributed relational job: a DataFrame of Ogmios-style block JSON →
-  * the eleven Cardano tables via `from_json` + `explode`, written
+  * the fourteen Cardano tables (incl. the reference's three README-planned-but-never-built governance tables) via `from_json` + `explode`, written
   * slot-group-partitioned in a single pass.
   *
   * What the reference does imperatively (per-tx Python extractors
@@ -210,6 +210,81 @@ object Extract {
         unhex(col("c.metadata.hash")).as("metadata_hash"),
         col("c.metadata.url").as("metadata_url"))
 
+  /** Governance votes (/root/reference/README.md:74-80 — planned
+    * there, never built: no extractor exists in the reference). One
+    * row per vote; `voter` is the reference's ASCII-string column,
+    * rendered "role:id" so both the issuer class and identity survive;
+    * `vote` is the INT32 its TODO asks for (no=0, yes=1, abstain=2);
+    * `anchor` is the metadata URL.
+    */
+  def vote(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("slot"), txId, explode(col("tx.votes")).as("v"))
+      .select(col("slot"), col("tx_id"),
+        concat_ws(":", col("v.issuer.role"), col("v.issuer.id")).as("voter"),
+        unhex(col("v.proposal.transaction.id")).as("action_id_tx"),
+        col("v.proposal.index").as("action_id_index"),
+        when(col("v.vote") === "no", 0)
+          .when(col("v.vote") === "yes", 1)
+          .when(col("v.vote") === "abstain", 2).as("vote"),
+        col("v.metadata.url").as("anchor"))
+
+  /** Governance-action type → INT32 code (the reference's README
+    * plans `type: INT32`; the codes follow the Conway GovAction
+    * constructor order).
+    */
+  val proposalTypes: Seq[(String, Int)] = Seq(
+    "protocolParametersUpdate" -> 0, "hardForkInitiation" -> 1,
+    "treasuryWithdrawals" -> 2, "constitutionalCommittee" -> 3,
+    "constitution" -> 4, "noConfidence" -> 5, "information" -> 6)
+
+  def proposalTypeCode(t: Column): Column =
+    proposalTypes.foldLeft(lit(null).cast("int")) { case (acc, (name, code)) =>
+      when(t === name, code).otherwise(acc)
+    }
+
+  /** Governance proposals (/root/reference/README.md:82-88 — planned,
+    * never built). One row per proposal, `proposal_index` = position
+    * within the tx (posexplode), deposit in lovelace, `type` coded via
+    * [[proposalTypeCode]], `anchor` = metadata URL.
+    */
+  def proposal(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("slot"), txId,
+        posexplode(col("tx.proposals")).as(Seq("proposal_index", "p")))
+      .select(col("slot"), col("tx_id"), col("proposal_index"),
+        coalesce(col("p.deposit.ada.lovelace"), lit(0L)).as("deposit"),
+        col("p.returnAccount").as("return_account"),
+        proposalTypeCode(col("p.action.type")).as("type"),
+        col("p.metadata.url").as("anchor"))
+
+  /** Plutus redeemer-tag → INT32 (Conway ledger order; the purposes
+    * are Ogmios's validator purpose strings).
+    */
+  val redeemerTags: Seq[(String, Int)] = Seq(
+    "spend" -> 0, "mint" -> 1, "publish" -> 2, "withdraw" -> 3,
+    "vote" -> 4, "propose" -> 5)
+
+  def redeemerTagCode(p: Column): Column =
+    redeemerTags.foldLeft(lit(null).cast("int")) { case (acc, (name, code)) =>
+      when(p === name, code).otherwise(acc)
+    }
+
+  /** Script redeemers (/root/reference/README.md:98-104 — planned,
+    * never built). One row per redeemer: coded tag, the validator's
+    * index within its tag group, raw CBOR bytes, and execution units
+    * (Ogmios `cpu` = the reference's planned `steps`).
+    */
+  def redeemer(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("slot"), txId, explode(col("tx.redeemers")).as("r"))
+      .select(col("slot"), col("tx_id"),
+        redeemerTagCode(col("r.validator.purpose")).as("tag"),
+        col("r.validator.index").as("redeemer_index"),
+        unhex(col("r.redeemer")).as("data"),
+        col("r.executionUnits.memory").as("mem"),
+        col("r.executionUnits.cpu").as("steps"))
+
   /** All tables from one parsed relation (tx_raw excluded — disabled in
     * the reference too, ogmios_parquet.py:693-695).
     */
@@ -217,12 +292,15 @@ object Extract {
     "tx" -> tx(parsed), "utxo" -> utxo(parsed), "mint" -> mint(parsed),
     "asset" -> asset(parsed), "datum" -> datum(parsed), "cert" -> cert(parsed),
     "cert_stake" -> certStake(parsed), "cert_pool" -> certPool(parsed),
-    "cert_cc" -> certCc(parsed), "cert_drep" -> certDrep(parsed))
+    "cert_cc" -> certCc(parsed), "cert_drep" -> certDrep(parsed),
+    "vote" -> vote(parsed), "proposal" -> proposal(parsed),
+    "redeemer" -> redeemer(parsed))
 
   /** The table names `allTables` produces — for consumers that need the
     * storage layout without a parsed batch in hand (e.g. rollback).
     */
   val tableNames: Seq[String] = Seq(
     "tx", "utxo", "mint", "asset", "datum", "cert",
-    "cert_stake", "cert_pool", "cert_cc", "cert_drep")
+    "cert_stake", "cert_pool", "cert_cc", "cert_drep",
+    "vote", "proposal", "redeemer")
 }

@@ -29,7 +29,17 @@ object Fixture {
        |      "datum": "$inlineDatumHex"}],
        |   "mint": {"$policy": {"746f6b656e": 42, "6275726e": -7}},
        |   "datums": {"${hx("ee", 32)}": "9f01ff"},
-       |   "redeemers": [{"validator": "spend:0"}],
+       |   "redeemers": [{"validator": {"index": 0, "purpose": "spend"},
+       |     "redeemer": "9f01ff",
+       |     "executionUnits": {"memory": 1000, "cpu": 500000}}],
+       |   "votes": [{"issuer": {"role": "delegateRepresentative", "id": "drep1xyz"},
+       |     "proposal": {"transaction": {"id": "${hx("66", 32)}"}, "index": 0},
+       |     "vote": "yes",
+       |     "metadata": {"url": "https://vote.example", "hash": "${hx("77", 32)}"}}],
+       |   "proposals": [{"deposit": {"ada": {"lovelace": 100000000000}},
+       |     "returnAccount": "stake1ret",
+       |     "action": {"type": "treasuryWithdrawals"},
+       |     "metadata": {"url": "https://prop.example", "hash": "${hx("88", 32)}"}}],
        |   "certificates": [
        |     {"type": "stakeDelegation", "credential": "${hx("11", 28)}",
        |      "stakePool": {"id": "pool1abc"},
@@ -59,5 +69,6 @@ object Fixture {
   val expectedCounts: Seq[(String, Long)] = Seq(
     "asset" -> 1L, "cert" -> 4L, "cert_cc" -> 1L, "cert_drep" -> 1L,
     "cert_pool" -> 1L, "cert_stake" -> 1L, "datum" -> 2L, "mint" -> 2L,
-    "tx" -> 3L, "utxo" -> 4L)
+    "proposal" -> 1L, "redeemer" -> 1L, "tx" -> 3L, "utxo" -> 4L,
+    "vote" -> 1L)
 }

@@ -99,11 +99,41 @@ object Schemas {
     f("drep_id", BinaryType), f("drep_type", StringType),
     f("metadata_hash", BinaryType), f("metadata_url", StringType)))
 
+  /** vote — planned by the reference (README.md:74-80) but never
+    * built there (no extractor exists); forward-parity table. `vote`
+    * is the INT32 the reference's TODO asks for: no=0, yes=1,
+    * abstain=2.
+    */
+  val vote: StructType = StructType(Seq(
+    f("slot", LongType), f("tx_id", BinaryType), f("voter", StringType),
+    f("action_id_tx", BinaryType), f("action_id_index", IntegerType),
+    f("vote", IntegerType), f("anchor", StringType)))
+
+  /** proposal — planned by the reference (README.md:82-88); `type` is
+    * the INT32 code of the governance-action type (see
+    * Extract.proposalTypeCode).
+    */
+  val proposal: StructType = StructType(Seq(
+    f("slot", LongType), f("tx_id", BinaryType),
+    f("proposal_index", IntegerType), f("deposit", LongType),
+    f("return_account", StringType), f("type", IntegerType),
+    f("anchor", StringType)))
+
+  /** redeemer — planned by the reference (README.md:98-104); `tag` is
+    * the Plutus redeemer-tag code (spend=0, mint=1, publish=2,
+    * withdraw=3, vote=4, propose=5 — the Conway ledger order).
+    */
+  val redeemer: StructType = StructType(Seq(
+    f("slot", LongType), f("tx_id", BinaryType), f("tag", IntegerType),
+    f("redeemer_index", IntegerType), f("data", BinaryType),
+    f("mem", LongType), f("steps", LongType)))
+
   val cardanoTables: Map[String, StructType] = Map(
     "tx_raw" -> txRaw, "tx" -> tx, "utxo" -> utxo, "mint" -> mint,
     "asset" -> asset, "datum" -> datum, "cert" -> cert,
     "cert_stake" -> certStake, "cert_pool" -> certPool,
-    "cert_cc" -> certCc, "cert_drep" -> certDrep)
+    "cert_cc" -> certCc, "cert_drep" -> certDrep,
+    "vote" -> vote, "proposal" -> proposal, "redeemer" -> redeemer)
 
   // -------------------------------------------------------------------
   // Input contract: Ogmios-style chain-sync block JSON
@@ -147,10 +177,32 @@ object Schemas {
     f("mint", MapType(StringType, MapType(StringType, LongType))),
     f("withdrawals", MapType(StringType, lovelaceAmount)),
     f("certificates", ArrayType(certificateSchema)),
-    f("redeemers", ArrayType(StructType(Seq(f("validator", StringType))))),
+    // Ogmios v6 script-evaluation shape: {"validator": {"index": N,
+    // "purpose": "spend"|...}, "redeemer": "<cbor hex>",
+    // "executionUnits": {"memory": N, "cpu": N}}
+    f("redeemers", ArrayType(StructType(Seq(
+      f("validator", StructType(Seq(
+        f("index", IntegerType), f("purpose", StringType)))),
+      f("redeemer", StringType),
+      f("executionUnits", StructType(Seq(
+        f("memory", LongType), f("cpu", LongType)))))))),
     f("datums", MapType(StringType, StringType)),
-    f("votes", ArrayType(StructType(Seq(f("issuer", StringType))))),
-    f("proposals", ArrayType(StructType(Seq(f("action", StringType)))))))
+    // Ogmios v6 governance vote: issuer role+id, the governance-action
+    // pointer being voted on, the vote itself, and the anchor metadata
+    f("votes", ArrayType(StructType(Seq(
+      f("issuer", StructType(Seq(f("role", StringType), f("id", StringType)))),
+      f("proposal", StructType(Seq(
+        f("transaction", StructType(Seq(f("id", StringType)))),
+        f("index", IntegerType)))),
+      f("vote", StringType),
+      f("metadata", metadataRef))))),
+    // Ogmios v6 governance proposal: deposit, return account, the
+    // action type, and the anchor metadata
+    f("proposals", ArrayType(StructType(Seq(
+      f("deposit", lovelaceAmount),
+      f("returnAccount", StringType),
+      f("action", StructType(Seq(f("type", StringType)))),
+      f("metadata", metadataRef)))))))
 
   val blockSchema: StructType = StructType(Seq(
     f("slot", LongType), f("id", StringType), f("height", LongType),

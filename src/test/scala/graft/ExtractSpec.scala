@@ -89,7 +89,8 @@ class ExtractSpec extends SparkSpec {
     assert(a.getAs[Int]("redeemer_count") === 1)
     assert(a.getAs[Int]("witness_datum_count") === 1)
     assert(a.getAs[Boolean]("has_mint") && a.getAs[Boolean]("has_cert"))
-    assert(!a.getAs[Boolean]("has_withdrawal") && !a.getAs[Boolean]("has_vote"))
+    assert(!a.getAs[Boolean]("has_withdrawal"))
+    assert(a.getAs[Boolean]("has_vote") && a.getAs[Boolean]("has_proposal"))
     val inputs = a.getSeq[Row](a.fieldIndex("inputs"))
     assert(inputs.length === 1)
     assert(hex(inputs.head.getAs[Array[Byte]]("tx_id")) === spent)
@@ -163,6 +164,33 @@ class ExtractSpec extends SparkSpec {
     val d = Extract.certDrep(parsed).collect().head
     assert(d.getAs[String]("drep_type") === "verificationKey")
     assert(d.getAs[String]("metadata_url") === "https://drep.example")
+  }
+
+  test("governance extraction: vote, proposal, redeemer tables") {
+    val v = Extract.vote(parsed).collect()
+    assert(v.length === 1)
+    assert(hex(v.head.getAs[Array[Byte]]("tx_id")) === txA)
+    assert(v.head.getAs[String]("voter") === "delegateRepresentative:drep1xyz")
+    assert(hex(v.head.getAs[Array[Byte]]("action_id_tx")) === hx("66", 32))
+    assert(v.head.getAs[Int]("action_id_index") === 0)
+    assert(v.head.getAs[Int]("vote") === 1) // yes
+    assert(v.head.getAs[String]("anchor") === "https://vote.example")
+
+    val p = Extract.proposal(parsed).collect()
+    assert(p.length === 1)
+    assert(p.head.getAs[Int]("proposal_index") === 0)
+    assert(p.head.getAs[Long]("deposit") === 100000000000L)
+    assert(p.head.getAs[String]("return_account") === "stake1ret")
+    assert(p.head.getAs[Int]("type") === 2) // treasuryWithdrawals
+    assert(p.head.getAs[String]("anchor") === "https://prop.example")
+
+    val r = Extract.redeemer(parsed).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Int]("tag") === 0) // spend
+    assert(r.head.getAs[Int]("redeemer_index") === 0)
+    assert(hex(r.head.getAs[Array[Byte]]("data")) === "9f01ff")
+    assert(r.head.getAs[Long]("mem") === 1000L)
+    assert(r.head.getAs[Long]("steps") === 500000L)
   }
 
   test("extracted frames conform to the declared Cardano schemas") {
