@@ -917,6 +917,16 @@ object TextQueries {
   // ---------------------------------------------------------------------
   val numShards = 8
 
+  /** p11's seeded shard assignment as a reusable column: first hex
+    * nibble of md5(seed ‖ ":" ‖ doc_id) mod `n`. Shared by the batch
+    * query and [[graft.streaming.StreamPipeline.shardedSink]] so the
+    * streaming writer's layout is bit-identical to the batch
+    * permutation's.
+    */
+  def shardOf(id: Column, seed: String, n: Int): Column =
+    (conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 1),
+      16, 10).cast("long") % n)
+
   val p11 = Q("p11_shard_shuffle", {
     // one hex nibble parsed arithmetically (no strtol in DuckDB)
     val nibble = "CASE WHEN substring(key, 1, 1) >= 'a' " +
@@ -936,8 +946,7 @@ object TextQueries {
     val keyed = table(spark, dir, "documents")
       .select(col("doc_id"),
         md5(concat(lit("s42:"), col("doc_id").cast("string"))).as("key"))
-      .withColumn("shard",
-        (conv(substring(col("key"), 1, 1), 16, 10).cast("long") % numShards))
+      .withColumn("shard", shardOf(col("doc_id"), "s42", numShards))
     keyed
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy("key", "doc_id")).cast("long"))

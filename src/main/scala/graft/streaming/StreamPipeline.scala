@@ -62,6 +62,46 @@ object StreamPipeline {
     StreamDedup.candidates(
       intake(docs).map(d => StreamDoc(d.doc_id, d.text)), ttl, maxBucket)
   }
+
+  /** The production tail: intake survivors land as SHARDED PARQUET —
+    * the continuous-corpus write shape a training pipeline consumes
+    * (one reader per shard). Shard = the batch p11 seeded assignment
+    * ([[TextQueries.shardOf]] — same seed ⇒ a doc lands in the same
+    * shard whether it arrived by stream or batch), written per
+    * micro-batch via `foreachBatch` + `partitionBy(shard)` so each
+    * trigger appends only the shard directories it touched and the
+    * batch writer's layout/compaction features apply unchanged.
+    *
+    * Scale shape: the sink adds NO new shuffle — intake's content-hash
+    * dedup is the stage boundary, and the partitioned append fans each
+    * task's rows into its shard files (at most numShards files per
+    * task per trigger; a real deployment sizes triggers so shard files
+    * land at compaction-friendly sizes, or runs the same `compact`
+    * merge the Cardano path uses). Exactly-once: parquet appends are
+    * tracked per batchId in the checkpoint — a replayed batch
+    * re-appends, so the sink inherits foreachBatch's at-least-once
+    * contract; readers dedup on doc_id or the pipeline runs with the
+    * default parquet streaming sink when strict exactly-once matters
+    * more than writer features.
+    */
+  def shardedSink(docs: Dataset[StreamCorpusDoc],
+      outDir: String,
+      checkpointDir: String,
+      numShards: Int = TextQueries.numShards,
+      seed: String = "s42",
+      langs: Seq[String] = Seq("en", "es"),
+      threshold: Double = TextQueries.qualityThreshold)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    intake(docs, langs, threshold)
+      .toDF()
+      .withColumn("shard", TextQueries.shardOf(col("doc_id"), seed, numShards))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("shard").parquet(outDir)
+      }
+      .start()
 }
 
 /** One streamed corpus document (pre-gate). */

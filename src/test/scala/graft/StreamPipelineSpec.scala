@@ -80,6 +80,52 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("shardedSink lands intake survivors as per-shard parquet across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = corpus().as[(Long, String, String)].collect()
+      .map { case (id, t, l) => StreamCorpusDoc(id, t, l) }.sortBy(_.doc_id)
+    val (first, second) = all.splitAt(all.length / 2)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-shardout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shardck").toString
+    val expectedHashes = batchKept().select("content_hash")
+      .as[String].collect().toSet
+    val firstHashes = batchKept().filter(col("doc_id") < second.head.doc_id)
+      .select("content_hash").as[String].collect().toSet
+
+    val source = MemoryStream[StreamCorpusDoc]
+    val q = StreamPipeline.shardedSink(source.toDS(), outDir, ckpt)
+    try {
+      source.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // first micro-batch landed (files on disk, correct survivor set)
+      val afterFirst = spark.read.parquet(outDir)
+        .select("content_hash").as[String].collect().toSet
+      assert(afterFirst === firstHashes)
+      source.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val back = spark.read.parquet(outDir).cache()
+    // union of both micro-batches = the batch p01 survivor hash set,
+    // one row per hash (cross-batch dedup held through the sink)
+    assert(back.select("content_hash").as[String].collect().toSet
+      === expectedHashes)
+    assert(back.count() === expectedHashes.size)
+    // layout: hive-style shard=K directories exist…
+    val shardDirs = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard=")).toSet
+    assert(shardDirs.nonEmpty && shardDirs.subsetOf(
+      (0 until TextQueries.numShards).map(i => s"shard=$i").toSet))
+    // …and every row sits in the shard the batch p11 assignment gives
+    // its doc_id (stream/batch shard parity)
+    val mismatches = back
+      .withColumn("expected",
+        TextQueries.shardOf(col("doc_id"), "s42", TextQueries.numShards))
+      .filter(col("shard") =!= col("expected")).count()
+    assert(mismatches === 0L)
+    back.unpersist()
+  }
+
   test("near-dup candidates among intake survivors equal the batch bucket join") {
     val prev = spark.conf.getOption(stateKey)
     spark.conf.set(stateKey, rocks)
