@@ -376,10 +376,15 @@ object CoreQueries {
     * Eager pruning stands — the relevant set is selective enough that
     * shrinking every later stage dominates.
     */
-  def transferPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val li = table(spark, dir, "lineitem")
-    val orders = table(spark, dir, "orders")
+  def transferPipeline(spark: SparkSession, dir: String): DataFrame =
+    transferPipelineOn(table(spark, dir, "lineitem"), table(spark, dir, "orders"))
 
+  /** q10 body over arbitrary lineitem/orders relations — the plain
+    * parquet path above and the bucketed-catalog path
+    * ([[graft.BucketedBench]]) share this verbatim, so the storage
+    * layout is the ONLY variable in the bucketed A/B.
+    */
+  def transferPipelineOn(li: DataFrame, orders: DataFrame): DataFrame = {
     // token-holding outputs (P2 filter; projection pruned at the scan)
     val tu = li
       .filter(col("l_returnflag") === "R" && col("l_quantity") > 45d)

