@@ -90,6 +90,34 @@ object Tables {
     else df
   }
 
+  /** Keyed variant of [[tableFan]] for scans that feed a grouped
+    * aggregation: fan by HASH of the group key instead of round-robin.
+    * Round-robin repartition locally sorts every full row first
+    * (spark.sql.execution.sortBeforeRepartition, kept on for
+    * retry-determinism) — measured 2× slower than the aggregation it
+    * was parallelizing; hash partitioning needs no such sort, and the
+    * downstream groupBy on the same key reuses the partitioning, so the
+    * fan's shuffle REPLACES the aggregation exchange instead of adding
+    * one. Same byte gating as tableFan: at production scale the call is
+    * an identity and the plan keeps ordinary map-side partial
+    * aggregation over thousands of natural splits.
+    */
+  def tableFanBy(spark: SparkSession, sfDir: String, name: String,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val par = spark.sparkContext.defaultParallelism
+    val bytes =
+      try new java.io.File(s"$sfDir/$name.parquet").length()
+      catch { case _: Throwable => Long.MaxValue }
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val minFan = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.graft.fanout.minBytes", "4MB"))
+    if (bytes >= minFan && bytes < par.toLong * maxSplit)
+      df.repartition(par, keys: _*)
+    else df
+  }
+
   /** S1 — glob scan across partition directories (Spark globs natively). */
   def glob(spark: SparkSession, pattern: String): DataFrame =
     spark.read.parquet(pattern)

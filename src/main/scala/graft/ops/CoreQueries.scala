@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 import graft.Q
-import graft.io.Tables.table
+import graft.io.Tables.{table, tableFanBy}
 import graft.functions.Functions._
 
 /** Reference-parity operator coverage (SURVEY.md §2), each re-expressed
@@ -281,7 +281,15 @@ object CoreQueries {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   ) { (spark, dir) =>
-    table(spark, dir, "orders")
+    // tableFanBy(custkey): the input is a 1-2-split scan at bench
+    // scale, so the ObjectHashAggregate partial (the query's only real
+    // work) would run on one core without the rebalance; hash-fanning
+    // on the group key parallelizes it AND replaces the aggregation
+    // exchange (same key, same partitioning). Measured solo at sf1:
+    // 1.16 s → 1.00 s (round-robin fan rejected: its retry-determinism
+    // local full-row sort measured 2.12 s).
+    tableFanBy(spark, dir, "orders", col("o_custkey"))
+      .select("o_custkey", "o_orderpriority")
       .groupBy("o_custkey")
       .agg(
         array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("prio_set"),

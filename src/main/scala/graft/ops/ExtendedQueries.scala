@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.functions.Functions.{decMicros, microsDouble}
-import graft.io.Tables.{table, tableFan}
+import graft.io.Tables.{table, tableFan, tableFanBy}
 
 /** Operators the reference does NOT use (SURVEY.md §2.3/§2.4/§2.7
   * "not present" rows) but a complete engine must offer — each
@@ -579,7 +579,12 @@ object ExtendedQueries {
   ) { (spark, dir) =>
     import graft.functions.CustomFunctions
     CustomFunctions.register(spark)
-    table(spark, dir, "orders")
+    // tableFanBy(custkey): parallelize the heap-building partial
+    // aggregate (the query's only real work) past the 1-2-split scan at
+    // bench scale; the hash fan doubles as the aggregation exchange.
+    // Measured solo at sf1: 1.21 s → 1.05 s.
+    tableFanBy(spark, dir, "orders", col("o_custkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
       .groupBy("o_custkey")
       .agg(call_function("topk_agg",
         struct(col("o_totalprice").as("ord"), col("o_orderkey").as("id")),
@@ -731,9 +736,10 @@ object ExtendedQueries {
   // (window + bucket) of it — so the residual filter's candidate:match
   // ratio is (fan+1)/fan, vs 2 at fan=1. Diminishing returns against a
   // linearly growing broadcast side; fan=4 cuts candidates ~38% for a
-  // 2.5× (still KB-scale) window relation. Measured solo at sf1, same
-  // quiet window, best-of-5: fan=1 2.33 s → fan=4 2.12 s → fan=8
-  // 2.11 s; fan=4 keeps most of the win at smaller expansion.
+  // 2.5× (still KB-scale) window relation. Measured solo at sf1 (one
+  // quiet window, best-of-7, q08 as stable control): fan=1 1.92 s,
+  // fan=4 1.80 s, fan=8 2.05 s — fan=4 keeps the candidate win before
+  // the broadcast-side expansion starts paying it back.
   private val q31Fan = 4L
   private val q31BucketNs = windowNs / q31Fan
 
@@ -918,20 +924,23 @@ object ExtendedQueries {
   // rows win, base rows without a delta carry over, delta rows without a
   // base insert.
   //
-  // Both sides cut the SAME input on the same key, so the merge needs no
-  // join at all: one hash aggregate computes each side's latest row as a
-  // conditional `max_by` (ordering expression NULL outside the side's
-  // date range → MaxBy skips the row; the (date, orderkey) ordering
-  // struct is unique per key so ties cannot arise), and the
-  // insert/carry/update tag falls out of which side is NULL. That is
-  // ONE shuffle with map-side partial aggregation and no sorts,
-  // replacing the previous two window shuffles (each sorting its full
-  // side) + full-outer sort-merge join. Measured solo at sf1 (same
-  // quiet window, best-of-5): 1.16 s → 0.62 s, bit-identical. When the
-  // two sides really are separate relations (base table + arriving
-  // batch), the full-outer-join form over bucketed storage
-  // (Tables.writeBucketed) remains the zero-shuffle shape — this query
-  // keeps the single-input formulation the oracle's CTEs express.
+  // Both sides are LARGE → no broadcast: the plan is one
+  // co-partitioned sort-merge join on the key (with bucketed/clustered
+  // storage — Tables.writeBucketed — even that shuffle disappears; this
+  // is exactly the merge-on-read compaction shape).
+  //
+  // Measured, rejected (round 9): a no-join rewrite — ONE hash
+  // aggregate computing both sides' latest rows as conditional
+  // max_by(struct(ok,tp,od), when(side, struct(od,ok))) — looked like
+  // one shuffle and no sorts, but a struct-typed aggregation buffer is
+  // not HashAggregateExec-compatible (buffers must be mutable
+  // fixed-width), so Catalyst silently planned SortAggregate: solo at
+  // sf1 it measured 1.30 s unfanned / 1.33 s with a keyed fan vs this
+  // form's 1.11 s in the same windows, bit-identical output. The
+  // window+full-outer form stands; packing the argmax into a primitive
+  // long buffer can't carry the price payload, and a custom
+  // TypedImperativeAggregate would only re-create the existing
+  // ObjectHashAggregate cost structure.
   // ---------------------------------------------------------------------
   private val mergeCutoff = "1999-01-01 00:00:00"
 
@@ -958,25 +967,30 @@ object ExtendedQueries {
        |FROM base b FULL OUTER JOIN delta d ON d.o_custkey = b.o_custkey
        |ORDER BY custkey""".stripMargin
   ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
     // to_timestamp resolves in the SESSION time zone (pinned UTC by the
     // harness) — java.sql.Timestamp.valueOf would parse in the JVM
     // default TZ and shift the cutoff instant on non-UTC hosts
     val cutoff = to_timestamp(lit(mergeCutoff))
-    def latestIf(cond: Column): Column = max_by(
-      struct(col("o_orderkey").as("ok"), col("o_totalprice").as("tp"),
-        col("o_orderdate").as("od")),
-      when(cond, struct(col("o_orderdate"), col("o_orderkey"))))
-    table(spark, dir, "orders")
-      .groupBy(col("o_custkey").as("custkey"))
-      .agg(latestIf(col("o_orderdate") < cutoff).as("b"),
-        latestIf(col("o_orderdate") >= cutoff).as("d"))
-      .select(col("custkey"),
-        when(col("b").isNull, "insert")
-          .when(col("d").isNull, "carry")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    def latest(df: DataFrame, prefix: String): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as(s"${prefix}_custkey"),
+          col("o_orderkey").as(s"${prefix}_orderkey"),
+          col("o_totalprice").as(s"${prefix}_totalprice"),
+          col("o_orderdate").as(s"${prefix}_date"))
+    val orders = table(spark, dir, "orders")
+    val base = latest(orders.filter(col("o_orderdate") < cutoff), "b")
+    val delta = latest(orders.filter(col("o_orderdate") >= cutoff), "d")
+    base.join(delta, col("d_custkey") === col("b_custkey"), "full_outer")
+      .select(coalesce(col("d_custkey"), col("b_custkey")).as("custkey"),
+        when(col("b_custkey").isNull, "insert")
+          .when(col("d_custkey").isNull, "carry")
           .otherwise("update").as("op"),
-        coalesce(col("d.ok"), col("b.ok")).as("latest_orderkey"),
-        coalesce(col("d.tp"), col("b.tp")).as("latest_totalprice"),
-        date_format(coalesce(col("d.od"), col("b.od")), "yyyy-MM-dd")
+        coalesce(col("d_orderkey"), col("b_orderkey")).as("latest_orderkey"),
+        coalesce(col("d_totalprice"), col("b_totalprice")).as("latest_totalprice"),
+        date_format(coalesce(col("d_date"), col("b_date")), "yyyy-MM-dd")
           .as("latest_date"))
       .orderBy("custkey")
   }
@@ -1083,8 +1097,8 @@ object ExtendedQueries {
   // pipeline; ~30 here), so aggregate state is bounded the same way
   // q08's address sets are. A NULL v1 nulls the ≥-predicate, so the
   // filter drops everything and c1/p1 stay NULL — exactly the window
-  // form's semantics on users with no view. Measured solo at sf1 (same
-  // quiet window, best-of-5): 1.09 s → 0.61 s, bit-identical.
+  // form's semantics on users with no view. Measured solo at sf1
+  // (adjacent windows, best-of-5): 1.11 s → 0.82 s, bit-identical.
   // ---------------------------------------------------------------------
   val q39 = Q("q39_funnel",
     """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
@@ -1103,6 +1117,12 @@ object ExtendedQueries {
       |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
   ) { (spark, dir) =>
     import graft.functions.Functions.tsUs
+    // NO fan here (measured): the collect_list partials compress 1M
+    // events to 60k users BEFORE the shuffle, and that serial partial
+    // is cheaper than hash-fanning the raw rows first — solo at sf1
+    // 0.82 s unfanned vs 1.05 s with tableFanBy(user_id) in the same
+    // window. Map-side combine wins when it reduces; contrast q08/q36,
+    // whose inputs don't compress until the final agg.
     val agged = table(spark, dir, "events")
       .select(col("user_id"), col("event_type"), tsUs(col("ts")).as("ts_ns"))
       .groupBy("user_id")

@@ -142,7 +142,8 @@ object MultimodalQueries {
   // explode → groupBy(doc_id) round-trip: a shuffle of every frame hash
   // (~4.5× corpus row count) plus an ObjectHashAggregate, carrying zero
   // information the source row didn't already have. Measured solo at
-  // sf1 (same quiet window, best-of-5): 0.98 s → 0.55 s, bit-identical.
+  // sf1 (adjacent windows, best-of-5): 0.98 s → 0.80-0.91 s,
+  // bit-identical.
   // The higher-order ops (transform/array_sort) evaluate per-element
   // outside whole-stage codegen, but frames-per-item is bounded (≤8
   // here; real video sampling is equally bounded per item) so the
