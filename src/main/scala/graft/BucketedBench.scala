@@ -25,6 +25,24 @@ import graft.ops.CoreQueries
   * Protocol mirrors graft.Bench: noop sink, interleaved best-of-N,
   * sf0.001-shaped warmup via the first untimed pass. One JSON line to
   * stdout after spark.stop().
+  *
+  * MEASURED (round 9, sf1, local[32], interleaved best-of-5, two runs):
+  * plain 2.30-2.69 s, bucketed 2.83-3.52 s — the layout is ~20% SLOWER
+  * at this scale even though the executed-plan probe confirms the
+  * elision is real (9 → 3 Exchanges, same 3 SMJ + 4 BHJ mix). Why the
+  * inversion: at sf1 the six elided shuffles move MB-scale pruned
+  * intermediates (cheap), while the bucketed layout inflates the scan
+  * side — hash-scattering rows across 32 buckets breaks run-length/
+  * dictionary locality (lineitem 110 MB/1 file → 118.7 MB/192 files,
+  * orders 22.9 → 25.6 MB) and every one of the pipeline's 9 scans pays
+  * the small-file open/decode overhead. At deployment scale the ratio
+  * flips: the elided exchanges carry TB not MB, the per-file overhead
+  * amortizes over thousands of natural splits either way, and the
+  * write-time shuffle is paid ONCE against joins that recur per
+  * analysis run. The layout ships (Tables.writeBucketed +
+  * BucketedPipelineSpec's pinned exchange counts and hash equality);
+  * the local bench keeps the plain path — this is a scale-regime
+  * choice, not a code path to "fix".
   */
 object BucketedBench {
   def main(args: Array[String]): Unit = {
