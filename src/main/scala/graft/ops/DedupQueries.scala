@@ -203,6 +203,54 @@ object DedupQueries {
   }
 
   // ---------------------------------------------------------------------
+  // d13 — containment join: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.9. The
+  // dedup case Jaccard structurally misses: a document embedded in a
+  // much larger one (quote-expansion, boilerplate wrapping, shard
+  // concatenation) has J = |A|/|B| → 0 as the host grows, but C = 1.
+  // Broder's containment (Resemblance & Containment of Documents, 1997)
+  // — symmetrized over the smaller set so one threshold covers both
+  // directions. Same inverted-index plan as d02 (shared shingle
+  // relation, SHJ pair generation, broadcast size lookup): only the
+  // final scalar filter differs, so the 100 TB posture is d02's — the
+  // pair stage is df-bounded, never all-pairs, and the d06 ladder's
+  // prefix/df-cut applies unchanged (a prefix filter for containment
+  // keys on the SMALLER set's rarest shingles, which is exactly the
+  // rarest-first order d06 already indexes). Pairs passing d02's J≥0.8
+  // also pass here (J ≤ C always); the interesting rows are the
+  // asymmetric ones below the Jaccard bar.
+  // ---------------------------------------------------------------------
+  val d13 = Q("d13_dedup_containment",
+    s"""WITH $trigramCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a AS doc_a, b AS doc_b,
+       |  CAST(i AS DOUBLE) / least(sa.sz, sb.sz) AS containment,
+       |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (spark, dir) =>
+    val grams = sharedGrams(spark, dir)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ga = grams.toDF("a", "ga")
+    // SHJ for the same measured reason as d02: the index join emits far
+    // more rows than it reads, so SMJ's input sorts are pure overhead.
+    val gb = grams.toDF("b", "gb").hint("shuffle_hash")
+    ga.join(gb, col("ga") === col("gb") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.toDF("a", "sa")), "a")
+      .join(broadcast(sizes.toDF("b", "sb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        (col("i").cast("double") / least(col("sa"), col("sb"))).as("containment"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+      .filter(col("containment") >= 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------------
   // d03 — MinHash + LSH near-dedup: 128-hash signatures in ONE pass over
   // the shingles (MinHashAgg, no 128× explode), banded 32×4, bucket
   // join on (band, band-hash), then exact-Jaccard verification of the
@@ -290,12 +338,76 @@ object DedupQueries {
   //
   // The output additionally carries a constant `brute_matches` column —
   // a genuine brute-force count over the signature relation (one 8-byte
-  // sig per doc, broadcast; O(N²/2) popcounts but zero shuffle) — so the
-  // result itself witnesses the blocked ≡ brute-force invariant:
-  // brute_matches always equals the emitted row count. At 100 TB you
-  // would run this self-check on a sample, not the corpus.
+  // sig per doc, broadcast) — so the result itself witnesses the
+  // blocked ≡ brute-force invariant. The witness is computed over a
+  // deterministic doc_id-ordered sample of ≤ 8192 docs (the whole
+  // corpus at every tested gate SF, so brute_matches = row count
+  // there): the round-9 sf3 scaling curve measured the unsampled
+  // O(N²/2) nested-loop witness at 4.4 s for N=150k — the self-check
+  // was becoming the query. A 100 TB run samples its invariant checks;
+  // now the code does what the doc claimed.
+  //
+  // BLOCKING AT SCALE (round 9): 16-bit chunks are a fixed-cardinality
+  // key space — expected random-collision candidates are 4·N²/2¹⁷,
+  // quadratic with onset right around N ≈ 10⁵ (measured by the sf3
+  // curve: 751k candidate rows, 4.2 s, N=150k — the same trap class
+  // s06's fixed 16 cells hit at sf1). Above [[simhashWideGate]] docs
+  // the blocking switches to widened keys (Manku/Jain/Sarma, WWW'07
+  // §3): the 64-bit signature splits into FIVE blocks (13/13/13/13/12
+  // bits); hamming ≤ 3 flips bits in at most 3 blocks, so at least two
+  // blocks survive intact and the pair shares one of the C(5,2) = 10
+  // two-block combination keys (~26 bits) — still pigeonhole-complete
+  // for h ≤ 3, so the verified output is IDENTICAL under either scheme
+  // and the 4×16 oracle stands unchanged. Expected random collisions
+  // drop to 10·N²/2²⁷ — the quadratic term's onset pushes from 10⁵ to
+  // ~10⁸ docs, at the price of 10 index entries per doc instead of 4.
   // ---------------------------------------------------------------------
   val hammingMax = 3
+
+  /** Document count above which d04 uses the widened 10×~26-bit
+    * blocking keys; at or below it, the classic 4×16-bit chunks (all
+    * driver-gate SFs are far below — their plans and outputs are
+    * untouched).
+    */
+  val simhashWideGate = 65536L
+
+  /** Brute-force witness sample bound: ≥ every tested SF's corpus (the
+    * whole-corpus invariant there), constant work beyond it.
+    */
+  val bruteSampleCap = 8192
+
+  /** (doc_id, sig, chunk_id, chunk) blocking keys for a signature
+    * relation. `wide = false`: the classic 4×16-bit chunks. `wide =
+    * true`: five blocks of 13/13/13/13/12 bits, key for combo (i, j) =
+    * block_i | block_j << 13 (≤ 26 bits, 10 keys/doc);
+    * shiftrightunsigned so the sign bit never leaks into block 4.
+    * Both are pigeonhole-complete for hamming ≤ [[hammingMax]]
+    * (Round9Spec pins the verified-pair equality).
+    */
+  def chunkKeys(sigs: DataFrame, wide: Boolean): DataFrame = {
+    val keyed =
+      if (!wide)
+        sigs.select(col("doc_id"), col("sig"),
+          explode(expr("transform(sequence(0, 3), i -> struct(" +
+            "cast(i AS int) AS chunk_id, " +
+            "shiftright(sig, cast(i * 16 AS int)) & 65535 AS chunk))")).as("cc"))
+      else {
+        def block(i: Int): Column = {
+          val width = if (i == 4) 12 else 13
+          shiftrightunsigned(col("sig"), i * 13)
+            .bitwiseAND(lit((1L << width) - 1))
+        }
+        val combos = for { i <- 0 until 5; j <- i + 1 until 5 } yield (i, j)
+        val entries = combos.zipWithIndex.map { case ((i, j), id) =>
+          struct(lit(id).cast("int").as("chunk_id"),
+            block(i).bitwiseOR(shiftleft(block(j), 13)).as("chunk"))
+        }
+        sigs.select(col("doc_id"), col("sig"),
+          explode(array(entries: _*)).as("cc"))
+      }
+    keyed.select(col("doc_id"), col("sig"),
+      col("cc.chunk_id").as("chunk_id"), col("cc.chunk").as("chunk"))
+  }
 
   val d04 = Q("d04_dedup_simhash",
     s"""WITH $trigramCte,
@@ -321,8 +433,9 @@ object DedupQueries {
        |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
        |  FROM ch a JOIN ch b
        |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+       |samp AS (SELECT doc_id, sig FROM sig ORDER BY doc_id LIMIT $bruteSampleCap),
        |brute AS (
-       |  SELECT COUNT(*) AS brute_matches FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  SELECT COUNT(*) AS brute_matches FROM samp a JOIN samp b ON a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.sig, b.sig)) <= $hammingMax)
        |SELECT doc_a, doc_b, hamming, brute_matches
        |FROM cand, brute WHERE hamming <= $hammingMax
@@ -333,18 +446,16 @@ object DedupQueries {
     val sigs = grams.groupBy("doc_id")
       .agg(call_function("simhash64",
         call_function("md5_lower64", col("g"))).as("sig"))
+    // Scheme pick is a parquet-metadata count (no data scan) — the
+    // s06-grown-cells precedent: parameters grow with N, outputs don't
+    // move (either scheme is h≤3-complete; the oracle keeps 4×16).
+    val nDocs = table(spark, dir, "documents").count()
     // (sig >> n) & 0xFFFF: arithmetic shift + mask == logical shift for
     // the low 16 bits, so the sign bit never leaks into a chunk.
     // Cached + memoized: both sides of the chunk self-join would
     // otherwise recompute the SimHash aggregation over every shingle.
     val chunks = chunksMemo.getOrElseUpdate((spark, dir),
-      sigs.select(col("doc_id"), col("sig"),
-        explode(expr("transform(sequence(0, 3), i -> struct(" +
-          "cast(i AS int) AS chunk_id, " +
-          "shiftright(sig, cast(i * 16 AS int)) & 65535 AS chunk))")).as("cc"))
-        .select(col("doc_id"), col("sig"),
-          col("cc.chunk_id").as("chunk_id"), col("cc.chunk").as("chunk"))
-        .cache())
+      chunkKeys(sigs, wide = nDocs > simhashWideGate).cache())
     val candidates = chunks.toDF("a", "sig_a", "chunk_id", "chunk")
       .join(chunks.toDF("b", "sig_b", "chunk_id2", "chunk2"),
         col("chunk_id") === col("chunk_id2") && col("chunk") === col("chunk2") &&
@@ -352,8 +463,11 @@ object DedupQueries {
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .distinct()
-    val brute = sigs.toDF("a", "sig_a")
-      .join(broadcast(sigs.toDF("b", "sig_b")), col("a") < col("b"))
+    // witness over the doc_id-ordered bounded sample (= whole corpus at
+    // gate SFs): O(cap²) popcounts regardless of N
+    val samp = sigs.orderBy("doc_id").limit(bruteSampleCap)
+    val brute = samp.toDF("a", "sig_a")
+      .join(broadcast(samp.toDF("b", "sig_b")), col("a") < col("b"))
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= hammingMax)
       .agg(count(lit(1)).as("brute_matches"))
     candidates
@@ -909,5 +1023,5 @@ object DedupQueries {
       .orderBy("src_doc", "dup_doc")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07, d08, d09, d10, d11)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d06, d07, d08, d09, d10, d11, d13)
 }

@@ -248,19 +248,30 @@ object TextQueries {
        |ORDER BY k.doc_id""".stripMargin
   ) { (spark, dir) =>
     CustomFunctions.register(spark)
-    val toks = table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"),
-        split(col("text"), " ").as("w"))
-    val kept = toks
-      .filter(col("lang").isin("en", "es") &&
-        qualityExpr(col("w")) >= qualityThreshold)
-      .select(col("doc_id"), col("text"), col("lang"),
-        qualityExpr(col("w")).as("quality"))
-    val dedup = kept
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-    dedup
-      .join(kept, Seq("doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    // ONE evaluation of the quality expression, ONE pass over the
+    // corpus. The previous agg + join-back-on-doc_id form recomputed
+    // the scan+quality subtree on both join sides, and the final ORDER
+    // BY's range-partitioning sample pass re-executed the broadcast
+    // join's streamed side (no shuffle barrier to reuse) — ~4
+    // evaluations of the expensive filter per run, the super-linear
+    // stage the sf3 scaling curve caught (solo, best-of-3: sf3 8.0 →
+    // 2.70 s, sf1 1.59 → 1.20 s — 5.0× growth back to a sub-linear
+    // 2.25×; output bit-identical). Here the dedup group's
+    // survivor pick and copy count are two window functions over ONE
+    // content_hash shuffle, the quality column is projected before the
+    // filter so codegen computes it once, and everything expensive sits
+    // behind the window exchange, which the sort's sampling reuses.
+    val w = Window.partitionBy("content_hash")
+    table(spark, dir, "documents")
+      .filter(col("lang").isin("en", "es"))
+      .select(col("doc_id"), col("lang"),
+        qualityExpr(split(col("text"), " ")).as("quality"),
+        md5(col("text")).as("content_hash"))
+      .filter(col("quality") >= qualityThreshold)
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep_id", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("lang"), col("quality"), col("n_copies"),
         col("content_hash"))
       .orderBy("doc_id")
@@ -427,6 +438,64 @@ object TextQueries {
       .withColumn("rn", rn.cast("long"))
       .join(broadcast(quota), "source")
       .filter(col("rn") <= col("k"))
+      .select("doc_id", "source", "rn")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // p12 — temperature mixture sampling: p07 with weights derived FROM
+  // the supply instead of declared — w_s ∝ n_s^(1/T), the standard
+  // temperature-sampling rule (T=1 proportional, T→∞ uniform) that
+  // up-samples rare domains; multilingual/multi-source pretraining
+  // recipes use T≈2-5 so tail languages aren't drowned. T=2 here:
+  // w_s = floor(sqrt(n_s)) — sqrt is IEEE-correctly-rounded in BOTH
+  // engines, and flooring it to BIGINT makes every downstream step
+  // (largest feasible total, per-stratum quotas, rank cut) pure integer
+  // arithmetic → bit-identical cross-engine, no transcendental drift.
+  // Same single-shuffle plan as p07: tiny per-source count (collected —
+  // bounded by |sources|, ~3), quota broadcast back, one rank window
+  // partitioned by source. At 100 TB the counts come from table stats
+  // and the window is per-source-shard — nothing global.
+  // ---------------------------------------------------------------------
+  val p12 = Q("p12_temperature_mixture",
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |w AS (SELECT source, n,
+       |        CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+       |      FROM counts),
+       |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w),
+       |t AS (SELECT min(n * (SELECT wsum FROM ws) // w) AS total FROM w),
+       |quota AS (SELECT source,
+       |            w * (SELECT total FROM t) // (SELECT wsum FROM ws) AS k
+       |          FROM w),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn
+       |FROM ranked r JOIN quota q ON r.source = q.source AND r.rn <= q.k
+       |ORDER BY r.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    // per-source supply → integer temperature weights; |sources| rows
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"),
+        floor(sqrt(col("n").cast("double"))).cast("long").as("w"))
+      .collect()
+    val wsum = counts.map(_.getLong(2)).sum
+    // largest total T with every stratum's quota ≤ its supply:
+    // T = min_s floor(n_s·W / w_s) (w_s ≥ 1 since n_s ≥ 1)
+    val total = counts.map(r => r.getLong(1) * wsum / r.getLong(2)).min
+    val quota = counts.map(r => (r.getString(0), r.getLong(2) * total / wsum))
+    val quotaCol = quota.foldLeft(when(lit(false), 0L)) {
+      case (acc, (s, k)) => acc.when(col("source") === s, k)
+    }.otherwise(0L)
+    val rn = row_number().over(
+      Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id")))
+    docs
+      .withColumn("rn", rn.cast("long"))
+      .filter(col("rn") <= quotaCol)
       .select("doc_id", "source", "rn")
       .orderBy("doc_id")
   }
@@ -1006,5 +1075,5 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11,
-    p01, p02, p03, p04, p06, p07, p08, p09, p11)
+    p01, p02, p03, p04, p06, p07, p08, p09, p11, p12)
 }
