@@ -324,6 +324,128 @@ object TopCells {
     require(k > 0 && k <= cs.length, s"top_cells k must be in [1, ${cs.length}]")
     TopCells(exprs.head, cs, k)
   }
+
+  /** Cell count above which routing goes through the two-level
+    * coarse-quantizer index. Below it the flat loop wins and every
+    * small index keeps the historic single-loop execution path (and
+    * its exact-nearest semantics) byte-for-byte — which covers every
+    * driver-tested scale (k = 16..80). The sf10 probe that motivated
+    * this measured the flat loop at N·numCells dots — with numCells
+    * grown ∝ N (VectorQueries.cellTargetSize) that is a quadratic
+    * O(N²d/250) assignment pass: 0.85 s → 9.78 s for 10× data (11.5×
+    * growth) on s03. Two-level routing restores ~O(N·√k·d).
+    *
+    * An EXACT grouped alternative was measured first and rejected: a
+    * Cauchy-Schwarz group bound (dot(v,c) ≤ dot(v,μ_g) + ‖v‖·r_g,
+    * groups visited best-bound-first with early stop) kept selection
+    * bit-identical but pruned NOTHING on the 64-dim test embeddings —
+    * near-uniform high-dim data gives every group a radius on the data
+    * scale, so s03 at sf10 got SLOWER (12.7 s vs 9.8): the coarse dots
+    * and bound sort were pure overhead. High-dimensional metric
+    * pruning needs structure the worst-case corpus doesn't have;
+    * the standard practice (FAISS coarse quantizer, IMI) is the
+    * approximate rule below, which both engines replicate exactly.
+    */
+  val hierMin = 128
+
+  /** Two-level coarse-quantizer routing index: the `numCells` centroids
+    * are partitioned into ~√numCells groups (deterministic seeded Lloyd
+    * on the centroids themselves — a pure function of the centroid
+    * array, so executors rebuild it identically); each group keeps a
+    * representative μ_g (member mean). Routing visits the top-P groups
+    * by (dot(v,μ_g), groupId) lexicographic descending — P =
+    * min(max(2,k), numGroups) — and selects the top-k member cells by
+    * (dot, cellId) descending among ONLY those groups' members.
+    *
+    * This changes which cell a vector maps to versus the flat
+    * exact-nearest loop (it is the standard IVF coarse-quantizer
+    * approximation, FAISS's large-k assignment path) — but the rule is
+    * DETERMINISTIC and part of the index definition: queries route with
+    * the same rule, and the DuckDB oracle replicates it bit-for-bit
+    * (VectorQueries.cellsRankedSql emits the matching two-level SQL
+    * when the trained index is in this regime).
+    */
+  final case class Hier(
+      numGroups: Int,
+      coarseFlat: Array[Double],
+      memberIds: Array[Int],
+      groupStart: Array[Int])
+
+  private[graft] def buildHier(cs: Array[Array[Double]]): Hier = {
+    val n = cs.length
+    val dim = cs(0).length
+    val g0 = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // SPHERICAL clustering of the centroids: both the Lloyd input and
+    // the group representatives are L2-normalized. The fine stage ranks
+    // cells by raw DOT, so the coarse stage must rank groups by
+    // DIRECTION alignment alone — a plain mean of spread-out centroids
+    // shrinks toward the origin and its dot ranking degenerates to
+    // near-noise, concentrating assignments on a few large-norm cells
+    // (measured: s06's Σ|cell|² blow-up, 2.1 s → 39.3 s at sf10, under
+    // mean representatives). Normalized representatives give every
+    // group an equal-norm voice and restore flat-like balance.
+    def normalized(a: Array[Double]): Array[Double] = {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += a(d) * a(d); d += 1 }
+      val nn = math.sqrt(s)
+      if (nn == 0.0 || java.lang.Double.isNaN(nn)) a.clone()
+      else { val o = new Array[Double](dim); d = 0; while (d < dim) { o(d) = a(d) / nn; d += 1 }; o }
+    }
+    val csn = cs.map(normalized)
+    // deterministic seeds: evenly spaced centroids in id order
+    var centers = Array.tabulate(g0)(i => csn(((i.toLong * n) / g0).toInt).clone())
+    val assign = new Array[Int](n)
+    var iter = 0
+    while (iter < 15) {
+      var i = 0
+      while (i < n) {
+        var bestG = 0
+        var bestD = Double.PositiveInfinity
+        var gi = 0
+        while (gi < g0) {
+          var dsq = 0.0
+          var d = 0
+          while (d < dim) {
+            val t = csn(i)(d) - centers(gi)(d); dsq += t * t; d += 1
+          }
+          if (dsq < bestD) { bestD = dsq; bestG = gi }
+          gi += 1
+        }
+        assign(i) = bestG
+        i += 1
+      }
+      val sums = Array.ofDim[Double](g0, dim)
+      val cnt = new Array[Int](g0)
+      i = 0
+      while (i < n) {
+        val gi = assign(i); cnt(gi) += 1
+        var d = 0
+        while (d < dim) { sums(gi)(d) += csn(i)(d); d += 1 }
+        i += 1
+      }
+      centers = Array.tabulate(g0) { gi =>
+        if (cnt(gi) == 0) centers(gi)
+        else normalized(sums(gi)) // spherical: representative re-normalized
+      }
+      iter += 1
+    }
+    // compact to non-empty groups, members in ascending cell id
+    val byGroup = (0 until n).groupBy(assign)
+    val liveGroups = (0 until g0).filter(byGroup.contains)
+    val g = liveGroups.length
+    val coarseFlat = new Array[Double](g * dim)
+    val memberIds = new Array[Int](n)
+    val groupStart = new Array[Int](g + 1)
+    var pos = 0
+    liveGroups.zipWithIndex.foreach { case (gi, out) =>
+      System.arraycopy(centers(gi), 0, coarseFlat, out * dim, dim)
+      groupStart(out) = pos
+      byGroup(gi).foreach { cell => memberIds(pos) = cell; pos += 1 }
+    }
+    groupStart(g) = pos
+    Hier(g, coarseFlat, memberIds, groupStart)
+  }
 }
 
 /** Top-k inverted-list cells by centroid dot product — the IVF routing
@@ -354,6 +476,13 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
     a
   }
 
+  /** Grouped-centroid pruning index (see [[TopCells.Hier]]); built only
+    * above [[TopCells.hierMin]] cells, deterministically per JVM.
+    */
+  @transient private lazy val hier: TopCells.Hier = TopCells.buildHier(centroids)
+
+  private def useHier: Boolean = numCells >= TopCells.hierMin
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -367,6 +496,7 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (useHier) return hierEval(v)
     // Clamp to the input's actual length and skip null elements (treated
     // as 0-components), mirroring ArrayDot — an unclamped getDouble(d)
     // past numElements() reads out-of-bounds Unsafe memory and yields
@@ -411,8 +541,95 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Two-level routing (numCells ≥ hierMin) — see [[TopCells.Hier]]:
+    * top-P coarse groups by (dot(v,μ_g), groupId) descending, then
+    * top-k member cells by (dot, cellId) descending among those groups'
+    * members only. Both ranking steps use the same lexicographic-desc
+    * total order (Double.compare, ties → larger id) as the flat loop,
+    * and member dots accumulate in the same ascending element order, so
+    * the DuckDB twin reproduces the selection bit-for-bit.
+    */
+  private def hierEval(v: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val h = hier
+    val lim = math.min(dim, v.numElements())
+    val g = h.numGroups
+    val p = math.min(math.max(2, k), g)
+    val cdots = new Array[Double](g)
+    var gi = 0
+    while (gi < g) {
+      var s = 0.0
+      var d = 0
+      while (d < lim) {
+        if (!v.isNullAt(d)) s += v.getDouble(d) * h.coarseFlat(gi * dim + d)
+        d += 1
+      }
+      cdots(gi) = s
+      gi += 1
+    }
+    // top-P groups: repeated argmax with the flat loop's tie rule
+    val probe = new Array[Int](p)
+    val gUsed = new Array[Boolean](g)
+    var pi = 0
+    while (pi < p) {
+      var bestG = -1
+      var best = Double.NegativeInfinity
+      gi = 0
+      while (gi < g) {
+        if (!gUsed(gi)) {
+          val c = java.lang.Double.compare(cdots(gi), best)
+          if (bestG < 0 || c > 0 || (c == 0 && gi > bestG)) {
+            best = cdots(gi); bestG = gi
+          }
+        }
+        gi += 1
+      }
+      gUsed(bestG) = true
+      probe(pi) = bestG
+      pi += 1
+    }
+    // top-k member cells among the probed groups (insertion top-k)
+    val tv = new Array[Double](k)
+    val ti = new Array[Int](k)
+    var tc = 0
+    pi = 0
+    while (pi < p) {
+      val grp = probe(pi)
+      var m = h.groupStart(grp)
+      val end = h.groupStart(grp + 1)
+      while (m < end) {
+        val cell = h.memberIds(m)
+        var s = 0.0
+        var d = 0
+        while (d < lim) {
+          if (!v.isNullAt(d)) s += v.getDouble(d) * flat(cell * dim + d)
+          d += 1
+        }
+        val cLast = if (tc < k) 1 else java.lang.Double.compare(s, tv(k - 1))
+        if (cLast > 0 || (cLast == 0 && cell > ti(k - 1))) {
+          var j = if (tc < k) { tc += 1; tc - 1 } else k - 1
+          tv(j) = s; ti(j) = cell
+          var sift = true
+          while (j > 0 && sift) {
+            val c0 = java.lang.Double.compare(tv(j), tv(j - 1))
+            if (c0 > 0 || (c0 == 0 && ti(j) > ti(j - 1))) {
+              val dv = tv(j); tv(j) = tv(j - 1); tv(j - 1) = dv
+              val di = ti(j); ti(j) = ti(j - 1); ti(j - 1) = di
+              j -= 1
+            } else sift = false
+          }
+        }
+        m += 1
+      }
+      pi += 1
+    }
+    // P = min(max(2,k), numGroups) guarantees ≥ k candidate members
+    // (every group is non-empty; P = numGroups covers all cells)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(ti)
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v => {
+    if (useHier) doGenCodeHier(ctx, ev)
+    else nullSafeCodeGen(ctx, ev, v => {
       val flatRef = ctx.addReferenceObj("cellFlat", flat, "double[]")
       val dots = ctx.freshName("dots")
       val used = ctx.freshName("used")
@@ -454,6 +671,103 @@ case class TopCells(child: Expression, centroids: Array[Array[Double]], k: Int)
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  /** Codegen twin of [[hierEval]] — the same two-level algorithm as
+    * straight-line Java with runtime loops (nothing unrolls: at the
+    * cell counts where this path activates, unrolled dot chains would
+    * blow the 64KB method limit the flat composed form already avoids
+    * by looping).
+    */
+  private def doGenCodeHier(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val h = hier
+      val g = h.numGroups
+      val p = math.min(math.max(2, k), g)
+      val flatRef = ctx.addReferenceObj("cellFlat", flat, "double[]")
+      val coarseRef = ctx.addReferenceObj("coarseFlat", h.coarseFlat, "double[]")
+      val memberRef = ctx.addReferenceObj("cellMembers", h.memberIds, "int[]")
+      val startRef = ctx.addReferenceObj("cellGroupStart", h.groupStart, "int[]")
+      val lim = ctx.freshName("lim")
+      val cdots = ctx.freshName("cdots")
+      val probe = ctx.freshName("probe")
+      val gUsed = ctx.freshName("gUsed")
+      val tv = ctx.freshName("tv")
+      val ti = ctx.freshName("ti")
+      val tc = ctx.freshName("tc")
+      val d = ctx.freshName("d")
+      val gi = ctx.freshName("gi")
+      val s = ctx.freshName("s")
+      val pi = ctx.freshName("pi")
+      val bestG = ctx.freshName("bestG")
+      val best = ctx.freshName("best")
+      val cmpRes = ctx.freshName("cmpRes")
+      val grp = ctx.freshName("grp")
+      val m = ctx.freshName("m")
+      val end = ctx.freshName("end")
+      val cell = ctx.freshName("cell")
+      val cLast = ctx.freshName("cLast")
+      val j = ctx.freshName("j")
+      val c0 = ctx.freshName("c0")
+      val dv = ctx.freshName("dv")
+      val di = ctx.freshName("di")
+      s"""
+         |int $lim = java.lang.Math.min($dim, $v.numElements());
+         |double[] $cdots = new double[$g];
+         |for (int $gi = 0; $gi < $g; $gi++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $lim; $d++) {
+         |    if (!$v.isNullAt($d)) $s += $v.getDouble($d) * $coarseRef[$gi * $dim + $d];
+         |  }
+         |  $cdots[$gi] = $s;
+         |}
+         |int[] $probe = new int[$p];
+         |boolean[] $gUsed = new boolean[$g];
+         |for (int $pi = 0; $pi < $p; $pi++) {
+         |  int $bestG = -1;
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  for (int $gi = 0; $gi < $g; $gi++) {
+         |    if (!$gUsed[$gi]) {
+         |      int $cmpRes = Double.compare($cdots[$gi], $best);
+         |      if ($bestG < 0 || $cmpRes > 0 || ($cmpRes == 0 && $gi > $bestG)) {
+         |        $best = $cdots[$gi]; $bestG = $gi;
+         |      }
+         |    }
+         |  }
+         |  $gUsed[$bestG] = true;
+         |  $probe[$pi] = $bestG;
+         |}
+         |double[] $tv = new double[$k];
+         |int[] $ti = new int[$k];
+         |int $tc = 0;
+         |for (int $pi = 0; $pi < $p; $pi++) {
+         |  int $grp = $probe[$pi];
+         |  int $end = $startRef[$grp + 1];
+         |  for (int $m = $startRef[$grp]; $m < $end; $m++) {
+         |    int $cell = $memberRef[$m];
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $lim; $d++) {
+         |      if (!$v.isNullAt($d)) $s += $v.getDouble($d) * $flatRef[$cell * $dim + $d];
+         |    }
+         |    int $cLast = ($tc < $k) ? 1 : Double.compare($s, $tv[$k - 1]);
+         |    if ($cLast > 0 || ($cLast == 0 && $cell > $ti[$k - 1])) {
+         |      int $j;
+         |      if ($tc < $k) { $j = $tc; $tc++; } else { $j = $k - 1; }
+         |      $tv[$j] = $s; $ti[$j] = $cell;
+         |      while ($j > 0) {
+         |        int $c0 = Double.compare($tv[$j], $tv[$j - 1]);
+         |        if ($c0 > 0 || ($c0 == 0 && $ti[$j] > $ti[$j - 1])) {
+         |          double $dv = $tv[$j]; $tv[$j] = $tv[$j - 1]; $tv[$j - 1] = $dv;
+         |          int $di = $ti[$j]; $ti[$j] = $ti[$j - 1]; $ti[$j - 1] = $di;
+         |          $j--;
+         |        } else break;
+         |      }
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($ti);
        """.stripMargin
     })
 

@@ -473,15 +473,57 @@ object VectorQueries {
     c ++ p
   }
 
-  /** DuckDB fragment ranking all cells for the row's `v`: struct list
+  /** DuckDB fragment ranking cells for the row's `v`: struct list
     * sorted ascending then reversed, so `[1]` is the best (max dot,
     * ties to the LARGER id — TopCells' exact order) and `[2]` the
     * second probe.
+    *
+    * Regime-aware, matching TopCells' execution exactly: below
+    * `TopCells.hierMin` cells the list ranks ALL cells (the flat
+    * exact-nearest loop); at or above it, the list ranks only the
+    * members of the top-2 coarse groups of the deterministic two-level
+    * index ([[graft.functions.TopCells.Hier]], rebuilt here as the same
+    * pure function of the centroid array). Every consumer reads at most
+    * `cells[2]`, and TopCells' probe count is min(max(2,k), groups) —
+    * so for k ∈ {1,2} the two-group candidate list reproduces the
+    * engine's selection bit-for-bit.
     */
-  private def cellsRankedSql(cs: Array[Array[Double]]): String =
-    "list_reverse(list_sort([" + cs.zipWithIndex.map { case (c, i) =>
-      s"struct_pack(d := ${dotSql("v", planeSqlLit(c))}, i := $i)"
-    }.mkString(",\n      ") + "]))"
+  private def cellsRankedSql(cs: Array[Array[Double]]): String = {
+    def ranked(entries: Seq[String]) =
+      "list_reverse(list_sort(" + entries.mkString("[", ",\n      ", "]") + "))"
+    def memberStructs(cells: Seq[Int]) = cells.map { i =>
+      s"struct_pack(d := ${dotSql("v", planeSqlLit(cs(i)))}, i := $i)"
+    }
+    val h0 = if (cs.length < graft.functions.TopCells.hierMin) null
+      else graft.functions.TopCells.buildHier(cs)
+    // degenerate single-group index probes every cell — flat form
+    if (h0 == null || h0.numGroups < 2)
+      ranked(memberStructs(cs.indices))
+    else {
+      val h = h0
+      val coarse = (0 until h.numGroups).map { gi =>
+        val mu = Array.tabulate(cs(0).length)(d => h.coarseFlat(gi * cs(0).length + d))
+        s"struct_pack(d := ${dotSql("v", planeSqlLit(mu))}, i := $gi)"
+      }
+      def groupList(slot: Int): String = {
+        val cases = (0 until h.numGroups).map { gi =>
+          val members = (h.groupStart(gi) until h.groupStart(gi + 1)).map(h.memberIds)
+          s"WHEN $gi THEN ${memberStructs(members).mkString("[", ",\n        ", "]")}"
+        }
+        s"(CASE cr[$slot].i ${cases.mkString("\n      ", "\n      ", "")} END)"
+      }
+      // cr (coarse ranking) is bound per row by the caller's CTE? No —
+      // inline it as a lambda-free scalar subexpression via list_sort
+      // over the coarse structs, reused twice through a struct field.
+      val crExpr = ranked(coarse)
+      // DuckDB lacks per-expression lets inside a select-list fragment;
+      // rely on the optimizer CSE'ing the duplicated coarse ranking.
+      val probed =
+        s"list_concat(${groupList(1)}, ${groupList(2)})"
+          .replace("cr[", s"$crExpr[")
+      s"list_reverse(list_sort($probed))"
+    }
+  }
 
   val s03: Q = Q("s03_ann_ivf_probed",
     (spark, dir) => s03Body(spark, dir),

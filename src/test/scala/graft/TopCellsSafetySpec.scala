@@ -117,4 +117,130 @@ class TopCellsSafetySpec extends SparkSpec {
     assert(messageChain(e).toLowerCase.contains("array<double>") ||
       messageChain(e).contains("DATATYPE_MISMATCH"))
   }
+
+  // -------------------------------------------------------------------
+  // Two-level routing (numCells ≥ TopCells.hierMin): the sf10 probe's
+  // fix for the O(N·numCells) assignment quadratic. The rule — top-P
+  // coarse groups by (dot, groupId) desc, P = min(max(2,k), groups),
+  // then top-k member cells by (dot, cellId) desc among those groups —
+  // is DETERMINISTIC and index-defining, so both the eval and codegen
+  // paths must match an independent re-implementation of the two
+  // ranking stages bit-for-bit on adversarial inputs: clustered
+  // centroids, exact-duplicate centroids (id tie-breaks), short /
+  // null-holding / empty vectors (clamp semantics).
+  // -------------------------------------------------------------------
+
+  /** Independent two-level reference model. Shares ONLY the group
+    * partition with the engine (the grouping is index data, not the
+    * routing rule under test); both ranking stages are re-derived with
+    * plain Scala orderings.
+    */
+  private def hierModel(cs: Array[Array[Double]], v: Seq[Option[Double]],
+      k: Int): Seq[Int] = {
+    val dim = cs(0).length
+    val h = TopCells.buildHier(cs)
+    def dotTo(c: IndexedSeq[Double]): Double = {
+      var s = 0.0
+      v.take(dim).zipWithIndex.foreach {
+        case (Some(x), i) => s += x * c(i)
+        case _ => ()
+      }
+      s
+    }
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+    val groups = (0 until h.numGroups).sortBy(gi =>
+      (dotTo((0 until dim).map(d => h.coarseFlat(gi * dim + d))), gi))(ord.reverse)
+    val p = math.min(math.max(2, k), h.numGroups)
+    val cand = groups.take(p).flatMap(gi =>
+      (h.groupStart(gi) until h.groupStart(gi + 1)).map(h.memberIds))
+    cand.sortBy(cell => (dotTo(cs(cell)), cell))(ord.reverse).take(k)
+  }
+
+  private def evalLarge(cs: Array[Array[Double]], v: Seq[Option[Double]],
+      k: Int): Seq[Int] = {
+    val arr = new GenericArrayData(v.map(_.map(Double.box).orNull).toArray[Any])
+    TopCells(Literal(arr, ArrayType(DoubleType)), cs, k)
+      .eval(InternalRow.empty).asInstanceOf[ArrayData].toIntArray().toSeq
+  }
+
+  test("two-level routing (≥ hierMin cells) matches the independent rule model") {
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    val n = TopCells.hierMin + 72 // 200 cells → two-level path active
+    // clustered centroids plus exact duplicates so id-tie-breaking is
+    // exercised within a candidate set
+    val anchors = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val cs = Array.tabulate(n) { i =>
+      if (i >= n - 8) anchors(i % 4).clone() // exact duplicate centroids
+      else {
+        val a = anchors(i % 10)
+        Array.tabulate(dim)(d => a(d) + rnd.nextGaussian() * 0.1)
+      }
+    }
+    assert(n >= TopCells.hierMin)
+    (1 to 300).foreach { trial =>
+      val len = rnd.nextInt(dim + 3) // short, exact and over-long vectors
+      val v = Seq.fill(len)(
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextDouble() * 4 - 2))
+      val k = 1 + rnd.nextInt(5)
+      assert(evalLarge(cs, v, k) === hierModel(cs, v, k), s"trial=$trial v=$v k=$k")
+    }
+    // a vector EQUAL to a duplicated anchor: duplicate cells tie at the
+    // top of their group → larger id must win
+    val dup = anchors(1).map(Option(_)).toSeq
+    assert(evalLarge(cs, dup, 3) === hierModel(cs, dup, 3))
+    // empty vector: all dots 0 → both stages are pure id-desc order
+    assert(evalLarge(cs, Seq.empty, 4) === hierModel(cs, Seq.empty, 4))
+  }
+
+  test("two-level routing below hierMin is exactly the historic flat loop") {
+    // the flat model from the small-centroid tests, at a count just
+    // under the threshold — pins that the regime boundary changes
+    // nothing for every driver-tested index size
+    val rnd = new scala.util.Random(29)
+    val dim = 5
+    val n = TopCells.hierMin - 1
+    val csBig = Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+    def flatModel(v: Seq[Option[Double]], k: Int): Seq[Int] = {
+      val dots = csBig.map { c =>
+        var s = 0.0
+        v.take(dim).zipWithIndex.foreach {
+          case (Some(x), i) => s += x * c(i)
+          case _ => ()
+        }
+        s
+      }
+      val used = Array.fill(n)(false)
+      (0 until k).map { _ =>
+        val best = dots.indices.filterNot(used).maxBy(i =>
+          (dots(i), i))(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+        used(best) = true
+        best
+      }
+    }
+    (1 to 100).foreach { trial =>
+      val v = Seq.fill(dim)(Some(rnd.nextDouble() * 2 - 1))
+      val k = 1 + rnd.nextInt(4)
+      assert(evalLarge(csBig, v, k) === flatModel(v, k), s"trial=$trial")
+    }
+  }
+
+  test("two-level routing codegen path equals eval on a ≥ hierMin centroid literal") {
+    CustomFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 6
+    val n = TopCells.hierMin
+    val cs = Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+    val csSql = cs.map(_.mkString("array(", "d,", "d)")).mkString("array(", ",", ")")
+    val rows = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    rows.toDF("id", "v").createOrReplaceTempView("tc_hier_probe")
+    val got = spark.sql(
+      s"SELECT id, top_cells(v, $csSql, 3) AS cells FROM tc_hier_probe ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) === hierModel(cs, v.map(Some(_)), 3), s"id=$id")
+    }
+  }
 }

@@ -15,6 +15,15 @@ TIMESTAMP(NANOS) physical type (pyarrow passthrough) — the Spark side
 reads it as long ns via nanosAsLong and DuckDB reads it us-truncated,
 same as the driver-generated originals.
 
+`events.ts` is SHIFTED per copy (copy i adds i*(span+1day)) so a bigger
+factor extends the event history instead of densifying a fixed window —
+the constant-event-rate regime a real stream has. Without the shift,
+every copy lands in the SAME time range: per-hour event density grows
+with the factor, so any time-range join's true pair count grows
+quadratically in the factor (measured: q31 grew 15x for 10x data at
+factor 100 on the unshifted axis — an artifact of the generator, not
+the plan; 3.4x once shifted).
+
 Driver-side tooling only (pyarrow is not a library dependency).
 """
 import sys
@@ -62,6 +71,16 @@ def main():
         pq.write_table(tables[name], f"{OUT}/{name}.parquet")
         print(f"{name}: {tables[name].num_rows} rows (dimension, 1x)")
 
+    # per-copy time shift: whole span + 1 day, so copies are adjacent but
+    # non-overlapping segments of one longer history; the day gap is
+    # expressed in the ts column's OWN unit (driver data is us; the
+    # docstring's nanos note describes the legacy physical type only)
+    ts_type = tables["events"].schema.field("ts").type
+    unit_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+    ts_min = pc.min(tables["events"]["ts"]).cast(pa.int64()).as_py()
+    ts_max = pc.max(tables["events"]["ts"]).cast(pa.int64()).as_py()
+    ts_stride_ns = (ts_max - ts_min) + 24 * 3600 * unit_per_s
+
     for name, keys in KEYED.items():
         src = tables[name]
         copies = []
@@ -72,6 +91,12 @@ def main():
                 shifted = pc.add(t[col], i * strides[stride_of])
                 t = t.set_column(idx, t.schema.field(idx),
                                  shifted.cast(t.schema.field(idx).type))
+            if name == "events" and i > 0:
+                ti = t.schema.get_field_index("ts")
+                tstype = t.schema.field(ti).type
+                shifted_ts = pc.add(t["ts"].cast(pa.int64()),
+                                    i * ts_stride_ns).cast(tstype)
+                t = t.set_column(ti, t.schema.field(ti), shifted_ts)
             if name == "documents" and i > 0:
                 texts = [" ".join(tok + f"x{i}" for tok in s.split(" "))
                          for s in t["text"].to_pylist()]
