@@ -55,9 +55,12 @@ object TokenAnalytics {
     * (/root/reference/token_fee_analysis.py:154-261).
     *
     * Output: (slot, tx_id, tx_fee, input_addr_set, output_addr_set),
-    * slot-ascending. The token-UTxO side is broadcast when small (the
-    * usual case for a single asset) — at 100 TB the tx scan streams
-    * against it without a full shuffle.
+    * slot-ascending. The token-UTxO side broadcasts when small (the
+    * usual case for a single asset) — but it is data-dependent (a
+    * popular token's UTxO set grows with the chain), so the choice is
+    * left to AQE's runtime sizing rather than a static hint: at 100 TB
+    * a hot asset degrades to a shuffled join instead of OOMing the
+    * driver.
     */
   def findTokenTransfers(tx: DataFrame, asset: DataFrame,
       policyIdHex: String, assetNameHex: Option[String],
@@ -66,7 +69,7 @@ object TokenAnalytics {
 
     // relevant_txs: txs that created a token output (IN-subquery ≡ semi join)
     val relevant = tx
-      .join(broadcast(tu.select("tx_id").distinct()), Seq("tx_id"), "left_semi")
+      .join(tu.select("tx_id").distinct(), Seq("tx_id"), "left_semi")
       .select("slot", "tx_id", "tx_fee", "inputs")
 
     // input_addresses: UNNEST(inputs) resolved against token UTxOs on the
@@ -74,7 +77,7 @@ object TokenAnalytics {
     // grouped by the CONSUMING tx (in.tx_id is the spent outpoint's tx)
     val inAddr = relevant
       .select(col("tx_id").as("consumer_tx"), explode(col("inputs")).as("in"))
-      .join(broadcast(tu),
+      .join(tu,
         col("in.tx_id") === tu("tx_id") &&
           col("in.output_index") === tu("output_index"))
       .groupBy("consumer_tx")

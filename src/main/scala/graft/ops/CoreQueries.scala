@@ -200,7 +200,9 @@ object CoreQueries {
     val rich = table(spark, dir, "customer")
       .filter(col("c_acctbal") > 9000d).select("c_custkey")
     table(spark, dir, "orders")
-      .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_semi")
+      // the distinct key set is balance-filtered → data-dependent; AQE
+      // broadcasts it from runtime size (no static hint to outgrow)
+      .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
   }

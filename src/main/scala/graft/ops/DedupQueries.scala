@@ -193,9 +193,13 @@ object DedupQueries {
     val gb = grams.toDF("b", "gb").hint("shuffle_hash")
     val inter = ga.join(gb, col("ga") === col("gb") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    // sizes is CORPUS-sized (one row per document) — never hint it to
+    // broadcast: at 100 TB that is a driver OOM by construction. AQE
+    // picks broadcast from the aggregate's runtime size at small SFs
+    // and degrades to shuffled joins when the corpus outgrows it.
     inter
-      .join(broadcast(sizes.toDF("a", "sa")), "a")
-      .join(broadcast(sizes.toDF("b", "sb")), "b")
+      .join(sizes.toDF("a", "sa"), "a")
+      .join(sizes.toDF("b", "sb"), "b")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
@@ -241,8 +245,10 @@ object DedupQueries {
     val gb = grams.toDF("b", "gb").hint("shuffle_hash")
     ga.join(gb, col("ga") === col("gb") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      .join(broadcast(sizes.toDF("a", "sa")), "a")
-      .join(broadcast(sizes.toDF("b", "sb")), "b")
+      // corpus-sized sizes relation: unhinted for the same reason as
+      // d02 — AQE broadcasts while it fits, degrades when it doesn't
+      .join(sizes.toDF("a", "sa"), "a")
+      .join(sizes.toDF("b", "sb"), "b")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (col("i").cast("double") / least(col("sa"), col("sb"))).as("containment"),
         (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))

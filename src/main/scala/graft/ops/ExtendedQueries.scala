@@ -404,8 +404,10 @@ object ExtendedQueries {
     val l = table(spark, dir, "lineitem")
       .filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    broadcast(c)
-      .join(o, col("o_custkey") === col("c_custkey"))
+    // the segment-filtered customer side is data-dependent (1/5 of a
+    // 100 TB customer table is not broadcastable) — no static hint;
+    // AQE picks broadcast from the filtered scan's runtime size
+    c.join(o, col("o_custkey") === col("c_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(microsDouble(sum(decMicros(
@@ -724,8 +726,13 @@ object ExtendedQueries {
   // its single bucket, equi-join ON THE BUCKET, and re-check the exact
   // range as a cheap residual filter. Candidates per event are bounded
   // by the true windows in its bucket — at 100 TB the bucket id is an
-  // ordinary hash-shuffle key (and the small window side broadcasts
-  // here, so the probe is map-side). PlanQualitySpec's global
+  // ordinary hash-shuffle key. The window side is small at every tested
+  // threshold, but it is DATA-DEPENDENT (spike rate), so the broadcast
+  // is NOT hinted: AQE picks broadcast from the expanded relation's
+  // runtime size, and a low-threshold deployment where half the corpus
+  // spikes degrades to a shuffled hash join instead of OOMing the
+  // driver — the same treatment d09 got. Round9Spec pins the degrade
+  // plan + output equality; PlanQualitySpec's global
   // no-cartesian/no-BNLJ check pins the plan shape.
   // ---------------------------------------------------------------------
   private val spikeThreshold = 300.0
@@ -768,7 +775,7 @@ object ExtendedQueries {
     val wb = windows.withColumn("bucket",
       explode(sequence(expr(s"w_start div $q31BucketNs"),
         expr(s"w_start div $q31BucketNs") + q31Fan)))
-    // The probe side fans out before the broadcast join: candidate
+    // The probe side fans out before the bucket join: candidate
     // expansion (~3.4 pairs/event at sf1) plus the aggregate's partial
     // phase is the expensive part, and it runs pre-shuffle — on a
     // single-row-group file that is one core without the rebalance.
@@ -785,7 +792,7 @@ object ExtendedQueries {
     // 2.33 s solo at sf1 — inside window noise — and concentrates a
     // whole window's distinct-user set in ONE aggregation buffer, the
     // wrong posture for hot windows at 100 TB. Two levels stand.
-    eb.join(broadcast(wb), Seq("bucket"))
+    eb.join(wb, Seq("bucket"))
       .filter(col("ts_ns") >= col("w_start") &&
         col("ts_ns") < col("w_start") + windowNs)
       .groupBy("window_id", "w_start", "user_id")
@@ -838,7 +845,11 @@ object ExtendedQueries {
       .filter(call_function("bloom_might_contain",
         lit(bloomBytes), xxhash64(col("l_orderkey"))))
     pruned
-      .join(broadcast(keys), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      // keys is the price-filtered order set — data-dependent, so the
+      // exact semi join is unhinted; the bloom (a KB regardless of key
+      // count) already cut the probe side, and AQE broadcasts the key
+      // relation only while its runtime size allows
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
         microsDouble(sum(decMicros(col("l_quantity")))).as("sum_qty"))

@@ -417,9 +417,39 @@ object VectorQueries {
         .fit(feats).clusterCenters.map(_.toArray)
     })
 
+  private val hierCentroidsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Double]]]
+
+  /** Training-input bound for the hier-regime index: a deterministic
+    * id-prefix subset, not a random sample, so the trained constants
+    * are reproducible for the oracle inlining without seed plumbing.
+    */
+  private val hierTrainCap = 8192L
+
+  /** A fixed `TopCells.hierMin`-cell index trained once per (session,
+    * dir) on the bounded id-prefix subset — exists solely to force the
+    * two-level routing regime under the driver gate (s07); the cell
+    * count deliberately does NOT grow with N (that is s03's job), so
+    * training cost is bounded at hierTrainCap · hierMin regardless of
+    * corpus size.
+    */
+  def trainedHierCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    hierCentroidsMemo.getOrElseUpdate((spark, dir), {
+      val feats = vectors(spark, dir)
+        .filter(col("vec_id") < hierTrainCap)
+        .select(org.apache.spark.ml.functions.array_to_vector(col("v")).as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(graft.functions.TopCells.hierMin).setSeed(7L).setMaxIter(5)
+        .fit(feats).clusterCenters.map(_.toArray)
+    })
+
+  private def soleHierCentroids: Option[Array[Array[Double]]] =
+    if (hierCentroidsMemo.size == 1) Some(hierCentroidsMemo.values.head) else None
+
   /** Drop the trained-index memos (see DedupQueries.invalidateCaches). */
   def invalidateCaches(): Unit = {
     centroidsMemo.clear()
+    hierCentroidsMemo.clear()
     pqMemo.clear()
     semanticEdgesMemo.values.foreach(df =>
       try df.unpersist() catch { case _: Throwable => () })
@@ -439,8 +469,15 @@ object VectorQueries {
       struct(dot(v, typedLit(c.toSeq)).as("d"), lit(i).as("i"))
     }: _*), asc = false)
 
-  /** Codegen'd top-k cells by centroid dot — bit-identical selection
-    * order to [[cellRanking]] (VectorPqSpec pins it).
+  /** Codegen'd top-k cells by centroid dot. Below `TopCells.hierMin`
+    * cells this is bit-identical in selection order to [[cellRanking]]
+    * (VectorPqSpec pins it — every driver-gate index is in this
+    * regime); AT OR ABOVE hierMin, TopCells routes through the
+    * deterministic two-level coarse quantizer and the equivalence with
+    * the exact-flat [[cellRanking]] no longer holds — the hier regime's
+    * reference is TopCellsSafetySpec's independent rule model and the
+    * two-level oracle SQL ([[cellsRankedCte]]), gate-exercised by
+    * s07_ann_ivf_hier.
     */
   def topCells(v: Column, cs: Array[Array[Double]], k: Int): Column =
     call_function("top_cells", v, typedLit(cs.map(_.toSeq).toSeq), lit(k))
@@ -469,14 +506,15 @@ object VectorQueries {
   def degradedOracles: Seq[String] = {
     val c = if (soleCentroids.isEmpty)
       Seq("s03_ann_ivf_probed", "s06_knn_graph", "p05_semantic_dedup") else Nil
+    val h = if (soleHierCentroids.isEmpty) Seq("s07_ann_ivf_hier") else Nil
     val p = if (solePq.isEmpty) Seq("s04_ann_pq_adc") else Nil
-    c ++ p
+    c ++ h ++ p
   }
 
-  /** DuckDB fragment ranking cells for the row's `v`: struct list
-    * sorted ascending then reversed, so `[1]` is the best (max dot,
-    * ties to the LARGER id — TopCells' exact order) and `[2]` the
-    * second probe.
+  /** DuckDB CTE stage(s) computing `r(vec_id, v, nrm, cells)` from `e`:
+    * `cells` is the struct list sorted ascending then reversed, so
+    * `cells[1]` is the best cell (max dot, ties to the LARGER id —
+    * TopCells' exact order) and `cells[2]` the second probe.
     *
     * Regime-aware, matching TopCells' execution exactly: below
     * `TopCells.hierMin` cells the list ranks ALL cells (the flat
@@ -487,8 +525,16 @@ object VectorQueries {
     * `cells[2]`, and TopCells' probe count is min(max(2,k), groups) —
     * so for k ∈ {1,2} the two-group candidate list reproduces the
     * engine's selection bit-for-bit.
+    *
+    * Emitted as a CTE CHAIN rather than a scalar fragment so the hier
+    * form binds the coarse ranking `cr` ONCE in a prior stage (a real
+    * column — no string substitution into generated SQL, no reliance
+    * on DuckDB CSE) and each group's member-struct list appears ONCE,
+    * inside a lazily-evaluated CASE under `list_transform` — only the
+    * two selected groups' dots are computed per row, the same
+    * O(√k·d + members(2 groups)·d) per-row cost the engine pays.
     */
-  private def cellsRankedSql(cs: Array[Array[Double]]): String = {
+  private def cellsRankedCte(cs: Array[Array[Double]]): String = {
     def ranked(entries: Seq[String]) =
       "list_reverse(list_sort(" + entries.mkString("[", ",\n      ", "]") + "))"
     def memberStructs(cells: Seq[Int]) = cells.map { i =>
@@ -498,53 +544,67 @@ object VectorQueries {
       else graft.functions.TopCells.buildHier(cs)
     // degenerate single-group index probes every cell — flat form
     if (h0 == null || h0.numGroups < 2)
-      ranked(memberStructs(cs.indices))
+      s"r AS (SELECT vec_id, v, nrm, ${ranked(memberStructs(cs.indices))} AS cells FROM e)"
     else {
       val h = h0
       val coarse = (0 until h.numGroups).map { gi =>
         val mu = Array.tabulate(cs(0).length)(d => h.coarseFlat(gi * cs(0).length + d))
         s"struct_pack(d := ${dotSql("v", planeSqlLit(mu))}, i := $gi)"
       }
-      def groupList(slot: Int): String = {
-        val cases = (0 until h.numGroups).map { gi =>
-          val members = (h.groupStart(gi) until h.groupStart(gi + 1)).map(h.memberIds)
-          s"WHEN $gi THEN ${memberStructs(members).mkString("[", ",\n        ", "]")}"
-        }
-        s"(CASE cr[$slot].i ${cases.mkString("\n      ", "\n      ", "")} END)"
+      val cases = (0 until h.numGroups).map { gi =>
+        val members = (h.groupStart(gi) until h.groupStart(gi + 1)).map(h.memberIds)
+        s"WHEN $gi THEN ${memberStructs(members).mkString("[", ",\n        ", "]")}"
       }
-      // cr (coarse ranking) is bound per row by the caller's CTE? No —
-      // inline it as a lambda-free scalar subexpression via list_sort
-      // over the coarse structs, reused twice through a struct field.
-      val crExpr = ranked(coarse)
-      // DuckDB lacks per-expression lets inside a select-list fragment;
-      // rely on the optimizer CSE'ing the duplicated coarse ranking.
-      val probed =
-        s"list_concat(${groupList(1)}, ${groupList(2)})"
-          .replace("cr[", s"$crExpr[")
-      s"list_reverse(list_sort($probed))"
+      s"""r0 AS (SELECT vec_id, v, nrm, ${ranked(coarse)} AS cr FROM e),
+         |r AS (SELECT vec_id, v, nrm, list_reverse(list_sort(flatten(list_transform(
+         |    [cr[1].i, cr[2].i],
+         |    gid -> CASE gid ${cases.mkString("\n      ", "\n      ", "")} END)))) AS cells
+         |  FROM r0)""".stripMargin
     }
   }
 
-  val s03: Q = Q("s03_ann_ivf_probed",
-    (spark, dir) => s03Body(spark, dir),
-    () => soleCentroids.map { cs =>
-      s"""WITH $vectorsCte,
-         |r AS (SELECT vec_id, v, nrm, ${cellsRankedSql(cs)} AS cells FROM e),
-         |b AS (SELECT vec_id, v, nrm, CAST(cells[1].i AS BIGINT) AS cell FROM r),
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
-         |    unnest([CAST(cells[1].i AS BIGINT), CAST(cells[2].i AS BIGINT)]) AS cell
-         |  FROM r WHERE vec_id < $numQueries),
-         |pairs AS (
-         |  SELECT q.qid, t.vec_id, ${dotSql("q.qv", "t.v")} / (q.qn * t.nrm) AS cos
-         |  FROM q JOIN b t USING (cell) WHERE t.vec_id <> q.qid),
-         |ranked AS (SELECT qid, vec_id, cos, row_number() OVER (
-         |  PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM pairs)
-         |SELECT qid, rank, vec_id AS neighbor_id, cos FROM ranked
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
-    })
+  /** The 2-probe IVF oracle SQL for a given trained centroid set —
+    * shared by s03 (grown flat-regime index) and s07 (fixed hier-regime
+    * index): the routing CTE ([[cellsRankedCte]]) is regime-aware, so
+    * the same chain verifies both execution paths.
+    */
+  private def ivfProbeSql(cs: Array[Array[Double]]): String =
+    s"""WITH $vectorsCte,
+       |${cellsRankedCte(cs)},
+       |b AS (SELECT vec_id, v, nrm, CAST(cells[1].i AS BIGINT) AS cell FROM r),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
+       |    unnest([CAST(cells[1].i AS BIGINT), CAST(cells[2].i AS BIGINT)]) AS cell
+       |  FROM r WHERE vec_id < $numQueries),
+       |pairs AS (
+       |  SELECT q.qid, t.vec_id, ${dotSql("q.qv", "t.v")} / (q.qn * t.nrm) AS cos
+       |  FROM q JOIN b t USING (cell) WHERE t.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, cos, row_number() OVER (
+       |  PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM pairs)
+       |SELECT qid, rank, vec_id AS neighbor_id, cos FROM ranked
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
-  private def s03Body(spark: SparkSession, dir: String): DataFrame = {
-    val cs = trainedCentroids(spark, dir)
+  val s03: Q = Q("s03_ann_ivf_probed",
+    (spark, dir) => s03Body(spark, dir, trainedCentroids(spark, dir)),
+    () => soleCentroids.map(ivfProbeSql))
+
+  // ---------------------------------------------------------------------
+  // s07 — IVF probe through the TWO-LEVEL routing regime: identical
+  // query shape to s03, but the index is a fixed hierMin-cell (128)
+  // index, so TopCells takes the coarse-quantizer path and the oracle
+  // emits the two-level SQL — putting the hier code path AND its
+  // cellsRankedCte twin under the standing driver gate at every SF
+  // (s03's grown index reaches hierMin only around N ≈ 32k vectors,
+  // far above the gate SFs; before this query the hier regime was
+  // pinned only by specs and manual factor-20 runs). The fixed cell
+  // count is NOT a scaling posture — it exists to force the regime;
+  // s03 keeps the N/cellTargetSize growth rule that holds at 100 TB.
+  // ---------------------------------------------------------------------
+  val s07: Q = Q("s07_ann_ivf_hier",
+    (spark, dir) => s03Body(spark, dir, trainedHierCentroids(spark, dir)),
+    () => soleHierCentroids.map(ivfProbeSql))
+
+  private def s03Body(spark: SparkSession, dir: String,
+      cs: Array[Array[Double]]): DataFrame = {
     val e = vectors(spark, dir).withColumn("cell", cellOf(col("v"), cs))
     // one probe ROW per (query, probed cell): the OR-condition join
     // (cell = cell1 OR cell = cell2) would plan a nested loop; exploding
@@ -926,7 +986,7 @@ object VectorQueries {
     // representative choice end to end
     () => soleCentroids.map { cs =>
       s"""WITH RECURSIVE $vectorsCte,
-         |r AS (SELECT vec_id, v, nrm, ${cellsRankedSql(cs)} AS cells FROM e),
+         |${cellsRankedCte(cs)},
          |b AS (SELECT vec_id, v, nrm, CAST(cells[1].i AS BIGINT) AS cell FROM r),
          |sim AS (
          |  SELECT x.vec_id AS a, y.vec_id AS b
@@ -1165,7 +1225,7 @@ object VectorQueries {
     (spark, dir) => s06Body(spark, dir),
     () => soleCentroids.map { cs =>
       s"""WITH $vectorsCte,
-         |r AS (SELECT vec_id, v, nrm, ${cellsRankedSql(cs)} AS cells FROM e),
+         |${cellsRankedCte(cs)},
          |b AS (SELECT vec_id, v, nrm, CAST(cells[1].i AS BIGINT) AS cell FROM r),
          |pairs AS (
          |  SELECT a.vec_id, t.vec_id AS nb, ${dotSql("a.v", "t.v")} / (a.nrm * t.nrm) AS cos
@@ -1272,5 +1332,5 @@ object VectorQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, d05, p05, p10)
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, d05, p05, p10)
 }

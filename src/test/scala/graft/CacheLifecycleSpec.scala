@@ -18,10 +18,14 @@ class CacheLifecycleSpec extends SparkSpec {
     SparkEntry.invalidateCaches()
     assert(VectorQueries.degradedOracles.toSet ===
       Set("s03_ann_ivf_probed", "s06_knn_graph", "p05_semantic_dedup",
-        "s04_ann_pq_adc"))
+        "s07_ann_ivf_hier", "s04_ann_pq_adc"))
 
     VectorQueries.trainedCentroids(spark, sf)
-    // one centroid entry → centroid-backed oracles healthy, PQ still empty
+    // one centroid entry → centroid-backed oracles healthy; the hier
+    // index and PQ memos are still empty
+    assert(VectorQueries.degradedOracles ===
+      Seq("s07_ann_ivf_hier", "s04_ann_pq_adc"))
+    VectorQueries.trainedHierCentroids(spark, sf)
     assert(VectorQueries.degradedOracles === Seq("s04_ann_pq_adc"))
 
     // second dir trained in the same session → centroid oracles ambiguous
@@ -40,6 +44,7 @@ class CacheLifecycleSpec extends SparkSpec {
     // (both memos: centroids AND codebooks) — the healthy Verify state
     SparkEntry.invalidateCaches()
     VectorQueries.trainedCentroids(spark, sf)
+    VectorQueries.trainedHierCentroids(spark, sf)
     VectorQueries.trainedCodebooks(spark, sf)
     assert(VectorQueries.degradedOracles.isEmpty)
     // no marker file written when nothing degraded

@@ -72,6 +72,63 @@ class PlanQualitySpec extends SparkSpec {
       "t10: top-20 planned as a full sort")
   }
 
+  test("static broadcast hints only on bounded-by-construction relations") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    // The round-9/10 lesson (d09, then q31/d02/d13/q06/q23/q33 and the
+    // TokenAnalytics surface): a static broadcast() hint on a
+    // DATA-DEPENDENT relation removes AQE's option to degrade to a
+    // shuffled join when the relation outgrows the driver — the 100 TB
+    // OOM mode. Hints are sanctioned only where the relation is bounded
+    // BY CONSTRUCTION (a fixed query batch, a held-out benchmark set, a
+    // |sources|- or 1-row-scalar relation, a capped sample), each
+    // documented at its site.
+    val allowedBroadcastHints = Set(
+      "s01_ann_brute_topk",   // 10-query batch (numQueries constant)
+      "s02_ann_lsh_bucketed", // same bounded query batch
+      "s03_ann_ivf_probed",   // query batch × 2 probe cells
+      "s07_ann_ivf_hier",     // same shape as s03
+      "s04_ann_pq_adc",       // query batch; shortlist = topK×10 per query
+      "s05_mmr_diversify",    // shortlist pool, mmrPool rows per query
+      "p06_decontaminate",    // held-out benchmark shingle set
+      "p10_embed_decontaminate", // held-out benchmark embedding set
+      "p07_domain_mixture",   // |sources|-row quota relation
+      "p12_temperature_mixture", // same quota shape
+      "t11_keywords_tfidf",   // 1-row scalar N
+      "d04_dedup_simhash",    // 8192-doc capped brute-force witness
+      "q24_group_quantiles",  // G·P-row rank locator
+      "q41_gapfill")          // 1-row (minHour, maxHour) bounds
+    SparkEntry.queries.keys.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }
+      if (!allowedBroadcastHints(name))
+        assert(hinted.isEmpty,
+          s"$name carries a static broadcast hint on a data-dependent relation")
+    }
+  }
+
+  test("s03/s07 cell routing stays inside whole-stage codegen") {
+    // TopCells' fallback regression mode: if the expression (either
+    // regime — s03 runs flat, s07 runs the two-level path) drops to
+    // CodegenFallback, the per-row routing projection leaves
+    // whole-stage codegen — the measured 2.3× s03 regression the custom
+    // expression exists to prevent. Codegen'd operators print with a
+    // "*(n)" stage prefix; interpreted ones don't.
+    Seq("s03_ann_ivf_probed", "s07_ann_ivf_hier").foreach { name =>
+      val plan = executedPlan(name).split("== Initial Plan ==")(0)
+      // FileScan lines echo the expression inside DataFilters — only
+      // OPERATOR lines (Project/Filter/Generate) execute it per row
+      val routingLines = plan.linesIterator
+        .filter(l => l.contains("top_cells") && !l.contains("FileScan")).toSeq
+      assert(routingLines.nonEmpty, s"$name: no top_cells stage in plan:\n$plan")
+      routingLines.foreach { l =>
+        assert(l.contains("*("),
+          s"$name: top_cells outside whole-stage codegen: $l")
+      }
+    }
+  }
+
   test("q39 funnel: all three chained windows and the aggregate share one hash exchange") {
     // count only the executed section — adaptive plans append an
     // "== Initial Plan ==" echo that would double-count operators

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopCells
+import graft.ops.{ExtendedQueries, VectorQueries}
+
+/** Round-10 pins: q31's unhinted broadcast degrades instead of OOMing,
+  * and the s07 hier-regime IVF query matches an independent plain-Scala
+  * recomputation of the two-level routing + probe at a cell count at or
+  * above TopCells.hierMin (the regime no driver-gate SF reaches through
+  * s03's grown index).
+  */
+class Round10Spec extends SparkSpec {
+
+  test("q31 output is broadcast-independent and degrades to shuffled joins") {
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val normal = canon(ExtendedQueries.q31.fn(spark, sf).collect())
+    assert(normal.nonEmpty)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // With broadcast disabled entirely, a static broadcast() hint
+      // would still force a driver-side build — the oversized-relation
+      // OOM d09 had in round 8. No hint → AQE degrades the
+      // bucket-expanded window side to a shuffled join, output
+      // unchanged.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = ExtendedQueries.q31.fn(spark, sf)
+      assert(canon(df.collect()) === normal)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastExchange"),
+        s"q31 degrade plan still broadcasts:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  // -- s07: independent recomputation of the full hier-regime pipeline --
+
+  /** Strict ascending left fold, the ArrayDot contract. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Two-level routing rule (TopCells.Hier semantics): rank groups by
+    * (coarse dot, groupId) descending, visit min(max(2,k), groups)
+    * groups, pick top-k member cells by (dot, cellId) descending.
+    */
+  private def route(v: Array[Double], cs: Array[Array[Double]],
+      h: TopCells.Hier, k: Int): Seq[Int] = {
+    val dim = cs(0).length
+    val groups = (0 until h.numGroups).map { gi =>
+      val mu = Array.tabulate(dim)(d => h.coarseFlat(gi * dim + d))
+      (dot(v, mu), gi)
+    }.sortBy { case (d, gi) => (-d, -gi) }
+    val probeGroups = groups.take(math.min(math.max(2, k), h.numGroups)).map(_._2)
+    val members = probeGroups.flatMap(gi =>
+      (h.groupStart(gi) until h.groupStart(gi + 1)).map(h.memberIds))
+    members.map(c => (dot(v, cs(c)), c)).sortBy { case (d, c) => (-d, -c) }
+      .take(k).map(_._2)
+  }
+
+  test("s07 equals the plain-Scala two-level model at >= hierMin cells") {
+    val cs = VectorQueries.trainedHierCentroids(spark, sf)
+    assert(cs.length >= TopCells.hierMin,
+      s"s07 index has ${cs.length} cells — not in the hier regime")
+    val h = TopCells.buildHier(cs)
+    assert(h.numGroups >= 2, "degenerate index: two-level routing inactive")
+
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val nrm = e.map { case (_, v) => math.sqrt(dot(v, v)) }.toArray
+    val cell = e.map { case (_, v) => route(v, cs, h, 1).head }
+
+    val expected = e.zipWithIndex.filter(_._1._1 < 10).flatMap { case ((qid, qv), qi) =>
+      val probes = route(qv, cs, h, 2).toSet
+      val cands = e.indices.filter(t =>
+        e(t)._1 != qid && probes.contains(cell(t)))
+      cands.map { t =>
+        (qid, e(t)._1, dot(qv, e(t)._2) / (nrm(qi) * nrm(t)))
+      }.sortBy { case (_, id, cos) => (-cos, id) }
+        .take(3).zipWithIndex
+        .map { case ((q, id, cos), i) => (q, (i + 1).toLong, id, cos) }
+    }.toSeq
+
+    val got = VectorQueries.s07.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
+}

@@ -39,14 +39,31 @@ def main():
     best = {}
     # interleaved passes, same reasoning as graft.Bench: consecutive
     # runs of one query land inside the same contention burst
+    # optional per-query wall guard for large-SF runs (0 = none):
+    # a timed-out query records the elapsed wall time as its cost
+    limit = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     for _ in range(runs):
         for name in sorted(oracles):
+            timer = None
+            if limit > 0:
+                import threading
+                timer = threading.Timer(limit, con.interrupt)
+                timer.start()
             t0 = time.perf_counter()
             try:
                 con.execute(oracles[name]).fetchall()
             except Exception as e:
-                print(f"[duckdb-bench] {name} FAILED: {e}", file=sys.stderr)
+                dt = time.perf_counter() - t0
+                print(f"[duckdb-bench] {name} FAILED after {dt:.1f}s: {e}",
+                      file=sys.stderr)
+                if timer is not None:
+                    timer.cancel()
+                if name not in best or dt < best[name]:
+                    best[name] = dt
                 continue
+            finally:
+                if timer is not None:
+                    timer.cancel()
             dt = time.perf_counter() - t0
             if name not in best or dt < best[name]:
                 best[name] = dt

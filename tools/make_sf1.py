@@ -79,7 +79,7 @@ def main():
     unit_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
     ts_min = pc.min(tables["events"]["ts"]).cast(pa.int64()).as_py()
     ts_max = pc.max(tables["events"]["ts"]).cast(pa.int64()).as_py()
-    ts_stride_ns = (ts_max - ts_min) + 24 * 3600 * unit_per_s
+    ts_stride = (ts_max - ts_min) + 24 * 3600 * unit_per_s
 
     for name, keys in KEYED.items():
         src = tables[name]
@@ -95,7 +95,7 @@ def main():
                 ti = t.schema.get_field_index("ts")
                 tstype = t.schema.field(ti).type
                 shifted_ts = pc.add(t["ts"].cast(pa.int64()),
-                                    i * ts_stride_ns).cast(tstype)
+                                    i * ts_stride).cast(tstype)
                 t = t.set_column(ti, t.schema.field(ti), shifted_ts)
             if name == "documents" and i > 0:
                 texts = [" ".join(tok + f"x{i}" for tok in s.split(" "))
