@@ -1243,9 +1243,8 @@ object ExtendedQueries {
        |obs AS (SELECT user_id, hour,
        |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS v
        |  FROM ev GROUP BY 1, 2),
-       |bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
-       |grid AS (SELECT u.user_id, g.hour FROM (SELECT DISTINCT user_id FROM ev) u
-       |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS hour FROM bounds) g),
+       |ub AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM ev GROUP BY 1),
+       |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM ub),
        |joined AS (
        |  SELECT g.user_id, g.hour, o.v,
        |    CAST(CASE WHEN o.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
@@ -1257,29 +1256,36 @@ object ExtendedQueries {
        |FROM joined ORDER BY user_id, hour""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    // One events scan: bounds and the grid's user list both derive from
-    // the cached post-aggregate obs — GROUP BY preserves the (user_id,
-    // hour) value sets, so MIN/MAX/DISTINCT over obs ≡ over raw events.
+    // Gap-fill extent is EACH SERIES' OWN [first, last] observation
+    // hour (the pandas per-group resample semantics), NOT the global
+    // corpus span: a global-bounds grid is users × total-history rows —
+    // output grows ∝ users·span, and on a history that grows with the
+    // corpus (the constant-event-rate regime) that is QUADRATIC in
+    // scale. Measured: the round-9 generator fix shifted copies onto a
+    // constant-rate axis, and the global-span form's sf10 output blew
+    // up ~10,000× (users ×100 · span ×100) — the write never finished;
+    // the per-user form is Σ_user span_user, linear in the corpus.
+    // A deployment wanting a fixed reporting range passes explicit
+    // bounds instead — that range is a constant, not a corpus property.
     //
     // The dense grid is NEVER materialized as a join input: each
     // observation row knows its successor's hour (lead), so it owns the
     // half-open run [hour, nxt) of grid hours and emits them directly —
     // carrying the forward-filled value computed over the SMALL obs
-    // relation — via one per-row sequence+transform+explode. The first
-    // row per user extends its run left to the global h0 (the leading
-    // NULL gap). Compared to the grid LEFT JOIN + last_value window
-    // over users × span rows, this runs the windows over obs only and
-    // replaces the grid join and grid-sized sort with a map-side
-    // explode; only the final presentation ORDER BY touches grid-sized
-    // data. Same relation: runs partition [h0, h1] per user exactly.
+    // relation — via one per-row sequence+explode; the last observation
+    // owns just its own hour (the series ends at h1 = its hour).
+    // Compared to the grid LEFT JOIN + last_value window over
+    // Σ span rows, this runs the windows over obs only and replaces the
+    // grid join and grid-sized sort with a map-side explode; only the
+    // final presentation ORDER BY touches grid-sized data. Same
+    // relation: runs partition [h0_u, h1_u] per user exactly.
     val obs = sharedObs(spark, dir)
-    val bounds = obs.agg(min("hour").as("h0"), max("hour").as("h1"))
     val byUser = Window.partitionBy("user_id").orderBy("hour")
-    obs.crossJoin(broadcast(bounds))
+    obs
       .withColumn("nxt", lead(col("hour"), 1).over(byUser))
-      .withColumn("isFirst", lag(col("hour"), 1).over(byUser).isNull)
       // last_value(v IGNORE NULLS): a NULL-v observation carries the
-      // previous non-null value through its own run.
+      // previous non-null value through its own run (a leading NULL-v
+      // observation's run stays NULL — IGNORE NULLS finds nothing).
       .withColumn("carry", last(col("v"), ignoreNulls = true).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       // Explode the BARE hour sequence and derive the per-cell fields
@@ -1287,12 +1293,10 @@ object ExtendedQueries {
       // transform() lambda building structs here would run interpreted
       // per grid cell (higher-order functions are CodegenFallback).
       .select(col("user_id"), col("hour"), col("v"), col("carry"),
-        explode(sequence(
-          when(col("isFirst"), col("h0")).otherwise(col("hour")),
-          coalesce(col("nxt") - 1, col("h1")))).as("grid_hour"))
+        explode(sequence(col("hour"),
+          coalesce(col("nxt") - 1, col("hour")))).as("grid_hour"))
       .select(col("user_id"), col("grid_hour").as("out_hour"),
-        when(col("grid_hour") < col("hour"), lit(null).cast("double"))
-          .otherwise(col("carry")).as("sum_value"),
+        col("carry").as("sum_value"),
         when(col("grid_hour") =!= col("hour") || col("v").isNull, 1L)
           .otherwise(0L).as("filled"))
       .withColumnRenamed("out_hour", "hour")

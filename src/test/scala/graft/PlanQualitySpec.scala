@@ -26,7 +26,6 @@ class PlanQualitySpec extends SparkSpec {
       "s04_ann_pq_adc", // ADC scan: broadcast bounded query batch, like s01
       "s05_mmr_diversify", // pool stage reuses s01's broadcast shortlist shape
       "p10_embed_decontaminate", // broadcast bounded benchmark batch, s01 shape
-      "q41_gapfill", // grid = users × broadcast 1-row (minHour, maxHour) bounds
       "t11_keywords_tfidf") // scalar N = broadcast 1-row cross join
     SparkEntry.queries.keys.foreach { name =>
       val plan = executedPlan(name)
@@ -95,8 +94,7 @@ class PlanQualitySpec extends SparkSpec {
       "p12_temperature_mixture", // same quota shape
       "t11_keywords_tfidf",   // 1-row scalar N
       "d04_dedup_simhash",    // 8192-doc capped brute-force witness
-      "q24_group_quantiles",  // G·P-row rank locator
-      "q41_gapfill")          // 1-row (minHour, maxHour) bounds
+      "q24_group_quantiles")  // G·P-row rank locator
     SparkEntry.queries.keys.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val hinted = df.queryExecution.analyzed.collect {

@@ -35,6 +35,37 @@ class Round10Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q41 gap-fills each series' own extent, not the global span") {
+    // per-user extent: output rows = Σ_user (h1_u − h0_u + 1) — LINEAR
+    // in the corpus; the global-span form (users × corpus history) is
+    // quadratic once history grows with the corpus (the sf10 octave
+    // catch this round: output ×10,000 for ×100 data, write never
+    // finished)
+    import spark.implicits._
+    val out = ExtendedQueries.q41.fn(spark, sf)
+      .select("user_id", "hour", "filled").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = out.groupBy(_._1)
+    val hourNs = 60L * 60L * 1000000000L
+    val obs = graft.io.Tables.table(spark, sf, "events")
+      .select(col("user_id"),
+        graft.functions.Functions.tsUs(col("ts")).as("ts_ns"))
+      .select(col("user_id"), expr(s"ts_ns div $hourNs").as("hour"))
+      .groupBy("user_id").agg(min("hour").as("h0"), max("hour").as("h1"),
+        countDistinct("hour").as("nObs"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(obs.nonEmpty)
+    obs.foreach { case (u, h0, h1, nObs) =>
+      val rows = byUser(u).sortBy(_._2)
+      // exact per-user extent, dense, no global extension
+      assert(rows.head._2 === h0 && rows.last._2 === h1)
+      assert(rows.length === (h1 - h0 + 1))
+      // every non-observation hour is marked filled
+      assert(rows.count(_._3 == 0L) <= nObs)
+    }
+    assert(out.length === obs.map { case (_, h0, h1, _) => h1 - h0 + 1 }.sum)
+  }
+
   // -- s07: independent recomputation of the full hier-regime pipeline --
 
   /** Strict ascending left fold, the ArrayDot contract. */
