@@ -30,8 +30,14 @@ import graft.functions.CustomFunctions
   */
 object DedupQueries {
 
-  /** Distinct word-trigram shingles per doc: (doc_id, g). Shared by the
-    * Jaccard / MinHash / SimHash pipelines and their oracles.
+  /** Distinct word-trigram shingles per doc: (doc_id, sz, g), where
+    * `sz` = the doc's distinct-shingle count, computed MAP-SIDE from the
+    * pre-explode array (size(array_distinct(...))) — no shuffle, no
+    * count aggregate. Postings carrying their own set size is what lets
+    * the similarity joins (d02/d13) evaluate Jaccard/containment from
+    * the pair aggregate alone, with no corpus-sized sizes relation to
+    * join (or worse, broadcast) afterwards. Shared by the Jaccard /
+    * MinHash / SimHash pipelines and their oracles.
     */
   def wordTrigrams(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
@@ -39,12 +45,14 @@ object DedupQueries {
       .select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
+        array_distinct(transform(
           sequence(lit(0), size(col("w")) - 3),
           i => concat_ws(" ",
             element_at(col("w"), i + 1),
             element_at(col("w"), i + 2),
-            element_at(col("w"), i + 3))))).as("g"))
+            element_at(col("w"), i + 3)))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("sz"),
+        explode(col("arr")).as("g"))
   }
 
   /** Session-scoped memo of the cached shingle relation: d02/d03/d04/d06
@@ -177,11 +185,18 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
-    // session-shared cache: the shingle relation feeds the size agg,
-    // both join sides, and the other dedup queries in the same session
+    // session-shared cache: the shingle relation feeds both join sides
+    // and the other dedup queries in the same session. Postings carry
+    // their own set size (map-side `sz`, see wordTrigrams), so the pair
+    // aggregate has everything Jaccard needs — NO post-join against a
+    // corpus-sized sizes relation. That relation was the round-10 sf10
+    // catch: hinted-broadcast it is a 100 TB driver OOM; unhinted it
+    // degrades to re-shuffling the Σ df²/2 pair relation twice
+    // (measured: d02 17.4 → 26.1 s, d13 15.1 → 19.8 s at sf10). The
+    // +8-byte-per-posting shuffle cost buys both joins away.
     val grams = sharedGrams(spark, dir)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val ga = grams.toDF("a", "ga")
+    val ga = grams.select(col("doc_id").as("a"), col("g").as("ga"),
+      col("sz").as("sa"))
     // shuffle_hash, not sort-merge: the inverted-index self-join emits
     // ~Σ df²/2 pairs — far more rows than it reads — so SMJ's two
     // O(n log n) input sorts are pure overhead (measured 2.06 → 0.90 s
@@ -190,16 +205,17 @@ object DedupQueries {
     // is the same condition the dedup ladder already manages (d06's
     // rarest-first prefix index / dfCutJaccardJoin's df cut); with
     // unbounded hot shingles NEITHER join shape saves the O(df²) output.
-    val gb = grams.toDF("b", "gb").hint("shuffle_hash")
-    val inter = ga.join(gb, col("ga") === col("gb") && col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    // sizes is CORPUS-sized (one row per document) — never hint it to
-    // broadcast: at 100 TB that is a driver OOM by construction. AQE
-    // picks broadcast from the aggregate's runtime size at small SFs
-    // and degrades to shuffled joins when the corpus outgrows it.
-    inter
-      .join(sizes.toDF("a", "sa"), "a")
-      .join(sizes.toDF("b", "sb"), "b")
+    val gb = grams.select(col("doc_id").as("b"), col("g").as("gb"),
+      col("sz").as("sb")).hint("shuffle_hash")
+    // Length filter (SSJoin): J = |∩|/|∪| ≤ min(sa,sb)/max(sa,sb), so
+    // J ≥ 0.8 requires 5·min ≥ 4·max — integer-exact, evaluated INSIDE
+    // the join condition, so size-incompatible pairs never reach the
+    // pair-aggregate shuffle. Purely necessary: the final jaccard
+    // filter is unchanged, output provably identical.
+    ga.join(gb, col("ga") === col("gb") && col("a") < col("b") &&
+        col("sa") * 5L >= col("sb") * 4L && col("sb") * 5L >= col("sa") * 4L)
+      // sa/sb are functions of a/b — grouping on them changes no groups
+      .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("i"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
@@ -237,18 +253,17 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
+    // sizes ride the postings (see d02/wordTrigrams) — no corpus-sized
+    // sizes relation after the pair aggregate
     val grams = sharedGrams(spark, dir)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val ga = grams.toDF("a", "ga")
+    val ga = grams.select(col("doc_id").as("a"), col("g").as("ga"),
+      col("sz").as("sa"))
     // SHJ for the same measured reason as d02: the index join emits far
     // more rows than it reads, so SMJ's input sorts are pure overhead.
-    val gb = grams.toDF("b", "gb").hint("shuffle_hash")
+    val gb = grams.select(col("doc_id").as("b"), col("g").as("gb"),
+      col("sz").as("sb")).hint("shuffle_hash")
     ga.join(gb, col("ga") === col("gb") && col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      // corpus-sized sizes relation: unhinted for the same reason as
-      // d02 — AQE broadcasts while it fits, degrades when it doesn't
-      .join(sizes.toDF("a", "sa"), "a")
-      .join(sizes.toDF("b", "sb"), "b")
+      .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("i"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (col("i").cast("double") / least(col("sa"), col("sb"))).as("containment"),
         (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))

@@ -123,8 +123,9 @@ class OperatorsSpec extends SparkSpec {
 
   test("d06 df-ordered prefix index shrinks the candidate set vs the full index") {
     val grams = DedupQueries.wordTrigrams(spark.read.parquet(s"$sf/documents.parquet")).cache()
-    val full = grams.toDF("a", "ga")
-      .join(grams.toDF("b", "gb"), col("ga") === col("gb") && col("a") < col("b"))
+    val full = grams.select(col("doc_id").as("a"), col("g").as("ga"))
+      .join(grams.select(col("doc_id").as("b"), col("g").as("gb")),
+        col("ga") === col("gb") && col("a") < col("b"))
       .select("a", "b").distinct().count()
     val prefixed = DedupQueries.prefixCandidates(grams, DedupQueries.jaccardThreshold).count()
     info(s"candidates: full index $full, df-ordered prefix $prefixed")
