@@ -460,6 +460,56 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The round-10 A/B alternative to [[transferPipelineOn]]: aggregate
+    * each tx's token-output address set ONCE (`tuAgg`, one groupBy over
+    * tu), then resolve both sides by join — `out_addrs` is
+    * `tuAgg[o_orderkey]`, and because the lag window yields exactly ONE
+    * previous order per order, `in_addrs` is just `tuAgg[prev_ok]` (the
+    * oracle's inp⋈tu aggregation collapses to a lookup: tu's outpoints
+    * are a subset of the previous order's lineitem rows and collect_set
+    * is multiplicity-blind). This replaces the exploded per-address
+    * union → groupBy shuffle with joins that move one aggregated string
+    * per order, and tuAgg's groupBy exchange (hash(tx_id)) is reusable
+    * by both probes. Equivalence: prev ⊇ relevant (every relevant
+    * order's customer is in relevantCust), the out join is inner-safe
+    * (every relevant order has ≥1 tu row by construction), and a
+    * missing/NULL prev_ok or a token-free previous order yields NULL
+    * in_addrs → coalesce('') — identical to the union form's empty set.
+    * Q10PipelineSpec pins hash equality; graft.Q10Profile measures it.
+    */
+  def transferPipelinePreAgg(li: DataFrame, orders: DataFrame): DataFrame = {
+    val tu = li
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 45d)
+      .select(col("l_orderkey").as("tx_id"), col("l_linenumber").as("output_index"),
+        concat(lit("S"), col("l_suppkey").cast("string")).as("address"))
+
+    val tuAgg = tu.groupBy("tx_id")
+      .agg(array_join(sort_array(collect_set(col("address"))), ",").as("addrs"))
+
+    val relevant = orders
+      .join(tuAgg.select("tx_id"), col("o_orderkey") === col("tx_id"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    val relevantCust = relevant.select("o_custkey").distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val prev = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(relevantCust, Seq("o_custkey"), "left_semi")
+      .withColumn("prev_ok", lag(col("o_orderkey"), 1).over(w))
+      .select("o_orderkey", "prev_ok")
+
+    relevant
+      .join(tuAgg.select(col("tx_id").as("o_orderkey"), col("addrs").as("out_addrs")),
+        Seq("o_orderkey"))
+      .join(prev, Seq("o_orderkey"), "left")
+      .join(tuAgg.select(col("tx_id").as("prev_ok"), col("addrs").as("in_addrs")),
+        Seq("prev_ok"), "left")
+      .filter(!(col("in_addrs") <=> col("out_addrs")))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("in_addrs"), lit("")).as("in_addrs"),
+        coalesce(col("out_addrs"), lit("")).as("out_addrs"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------------------------------------------------------------------
   // q11 — J3 standalone: left outer join + grouped agg with NULL-correct
   // count/sum over empty groups.

@@ -122,4 +122,19 @@ class Round10Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got === expected)
   }
+
+  test("q10 pre-aggregated form ≡ shipped union-groupBy form (both SFs)") {
+    // the round-10 A/B lever: tuAgg computed once, in_addrs a lookup of
+    // the single previous order — must be row-identical to the shipped
+    // form (graft.Q10Profile measures the wall-clock at sf1/sf10)
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val li = graft.io.Tables.table(spark, dir, "lineitem")
+      val orders = graft.io.Tables.table(spark, dir, "orders")
+      val a = graft.ops.CoreQueries.transferPipelineOn(li, orders)
+        .collect().map(_.toString).sorted.toSeq
+      val b = graft.ops.CoreQueries.transferPipelinePreAgg(li, orders)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a.nonEmpty && a === b, s"diverged at $dir")
+    }
+  }
 }
