@@ -371,9 +371,14 @@ object CoreQueries {
       |LEFT JOIN output_addresses o ON r.o_orderkey = o.o_orderkey
       |WHERE i.in_addrs IS DISTINCT FROM o.out_addrs
       |ORDER BY r.o_orderkey""".stripMargin
-  ) { (spark, dir) => transferPipeline(spark, dir) }
+  ) { (spark, dir) =>
+    transferPipelinePreAgg(table(spark, dir, "lineitem"), table(spark, dir, "orders"))
+  }
 
-  /** q10 body, reused by SparkEntry.entry.
+  /** The union-groupBy q10 body over the plain parquet tables — reused
+    * by SparkEntry.entry and kept as the measured A/B counterpart of
+    * the shipped [[transferPipelinePreAgg]] form (Round10Spec pins
+    * their hash equality, so a semantic drift in either turns red).
     *
     * Measured, rejected (round 8): a "deferred-relevance" form that
     * drops all three pruning joins (tu.distinct semi-join, relevantCust
@@ -460,7 +465,19 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
-  /** The round-10 A/B alternative to [[transferPipelineOn]]: aggregate
+  /** The SHIPPED q10 body since round 10 (A/B winner over
+    * [[transferPipelineOn]], graft.Q10Profile, adjacent quiet windows,
+    * outputs hash-equal at every SF measured): sf10 5.48 vs 7.52 s
+    * (−27%), sf0.1 0.85 vs 0.99 s (−14%), sf1 2.10 vs 1.79 s (+15%, the
+    * one regime where the union form's exploded rows still broadcast
+    * cheaply). The sf10 stage table puts the union form's marginal cost
+    * in its final stage (+4.1 s of 8.8 s cumulative — the union-groupBy
+    * shuffle of per-address rows plus the two joins against it); this
+    * form aggregates each tx's address set ONCE and joins one string
+    * per order, which is why its lead GROWS with scale — the 100 TB
+    * regime the engine targets. Aggregate
+    * each tx's token-output address set ONCE (`tuAgg`, one groupBy over
+    * tu), then resolve both sides by join — `out_addrs` is
     * each tx's token-output address set ONCE (`tuAgg`, one groupBy over
     * tu), then resolve both sides by join — `out_addrs` is
     * `tuAgg[o_orderkey]`, and because the lag window yields exactly ONE
