@@ -34,6 +34,21 @@ object Bench {
       // global value.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "262144")
+      // Start every shuffle WIDE and let AQE coalesce down (the
+      // documented production posture): with shuffle.partitions fixed
+      // at |cores|, per-partition aggregate state grows linearly with
+      // data at a fixed core count — the sf30 octave caught d13's
+      // Σdf²-pair aggregate spilling exactly this way (62.6 → 41.6 s
+      // solo, −34%, with 8× initial partitions; d13's sf10→sf30 growth
+      // fell from 4.49× to sub-linear). Cost at sf0.1, same-window
+      // full-suite control: +1.3% total (31.7 → 32.1 s) concentrated
+      // in sub-second floor-bound rows (d04 +0.47 s) where the wider
+      // map side pays scheduling before AQE coalesces — the floor
+      // shrinks as a fraction at every larger SF, the spill does not.
+      // AQE's coalescing keeps small-stage parallelism at the
+      // default-parallelism floor, so no stage LOSES cores to this.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       // NOTE: measured, rejected: coalescePartitions.parallelismFirst=
       // false (size-first AQE coalescing) regressed the suite 31.5→45 s
