@@ -478,8 +478,6 @@ object CoreQueries {
     * regime the engine targets. Aggregate
     * each tx's token-output address set ONCE (`tuAgg`, one groupBy over
     * tu), then resolve both sides by join — `out_addrs` is
-    * each tx's token-output address set ONCE (`tuAgg`, one groupBy over
-    * tu), then resolve both sides by join — `out_addrs` is
     * `tuAgg[o_orderkey]`, and because the lag window yields exactly ONE
     * previous order per order, `in_addrs` is just `tuAgg[prev_ok]` (the
     * oracle's inp⋈tu aggregation collapses to a lookup: tu's outpoints
