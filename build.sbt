@@ -37,6 +37,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g covers tests + sf<=1 benches; export SPARK_DRIVER_MEM=96g for
+  // sf>=10 runs — under 8g the suite's ShuffledHashJoin builds throw
+  // SparkOutOfMemoryError at sf10 (and Bench's per-query catch makes
+  // the failure silent in the artifact: a too-fast row is the tell).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Throughput GC: this is a batch engine — many short driver-side
   // pauses (G1's default) cost more across an 80-query suite than

@@ -119,23 +119,40 @@ object Bench {
     val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption)
       .filter(_ > 0).getOrElse(5)
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val failCount = scala.collection.mutable.Map.empty[String, Int]
     (1 to passes).foreach { _ =>
       ordered.foreach { case (name, df) =>
         val t0 = System.nanoTime()
         try {
-          if (df != null) df.write.mode("overwrite").format("noop").save()
-        } catch { case _: Throwable => () }
+          if (df == null) throw new IllegalStateException("construction failed")
+          df.write.mode("overwrite").format("noop").save()
+        } catch { case _: Throwable =>
+          failCount(name) = failCount.getOrElse(name, 0) + 1 }
         val t = (System.nanoTime() - t0) / 1e9
         if (!best.contains(name) || t < best(name)) best(name) = t
       }
     }
     val results = best.toMap
+    // A query that failed EVERY pass has no real timing — its "best" is
+    // time-to-exception. The dangerous shape is a DEAD SparkContext
+    // (executor OOM at 8g heap, disk-full shuffle spill — both hit this
+    // round at sf10/sf30): every save fails in ~10 ms and the artifact
+    // looks plausibly FAST. Mark such rows in the artifact ("errs") and
+    // exit nonzero when the whole suite is garbage so a chained
+    // campaign stops instead of persisting it.
+    val failed = ordered.collect {
+      case (name, _) if failCount.getOrElse(name, 0) >= passes => name
+    }.toSet
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size}/${ordered.size} queries " +
+        s"failed every pass: ${failed.toSeq.sorted.mkString(",")}")
     // Session teardown: release the module memos (cached DataFrames,
     // trained constants) before stopping — the documented lifecycle for
     // the invalidateCaches() hooks.
     SparkEntry.invalidateCaches()
     spark.stop()
-    printArtifacts(results, sfDir)
+    printArtifacts(results, sfDir, failed)
+    if (failed.size == ordered.size && ordered.nonEmpty) sys.exit(1)
   }
 
   /** Emit the bench artifact. The harness keeps only a bounded
@@ -154,12 +171,13 @@ object Bench {
     *     SPARK_GRAFT_BENCH_OUT (default target/bench_queries.json) for
     *     anything that wants millisecond precision.
     */
-  private[graft] def printArtifacts(results: Map[String, Double], sfDir: String): Unit = {
+  private[graft] def printArtifacts(results: Map[String, Double], sfDir: String,
+      failed: Set[String] = Set.empty): Unit = {
     // 1950 = the 2000-char tail minus newline slack: the line survives
     // whole as long as len+1 ≤ 2000, and the real 80-query suite needs
     // ~1936 chars at 1 decimal (BenchArtifactSpec pins the fit).
-    val line = renderLine(results, sfDir, maxLen = 1950)
-    val full = renderLine(results, sfDir, maxLen = Int.MaxValue)
+    val line = renderLine(results, sfDir, maxLen = 1950, failed = failed)
+    val full = renderLine(results, sfDir, maxLen = Int.MaxValue, failed = failed)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "target/bench_queries.json")
     try {
@@ -187,7 +205,7 @@ object Bench {
     * path belongs to logs, not the artifact).
     */
   private[graft] def renderLine(results: Map[String, Double], sfDir: String,
-      maxLen: Int): String = {
+      maxLen: Int, failed: Set[String] = Set.empty): String = {
     def fmt(v: Double, p: Int): String = {
       val s = String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
       if (s.contains('.')) {
@@ -200,9 +218,13 @@ object Bench {
     def jsonMap(m: Seq[(String, Double)], p: Int): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v, p) }
         .mkString("{", ",", "}")
+    // "errs" = queries that failed EVERY timed pass (their time is
+    // time-to-exception, not a measurement) — absent when the run is
+    // clean, so existing consumers see an unchanged line.
+    val errs = if (failed.isEmpty) "" else s""","errs":${failed.size}"""
     def withQueries(p: Int): String =
       s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","queries":${
-        jsonMap(results.toSeq.sortBy(_._1), p)},"sf":"$sfName"}"""
+        jsonMap(results.toSeq.sortBy(_._1), p)}$errs,"sf":"$sfName"}"""
     val families = results.toSeq
       .groupBy { case (k, _) => k.takeWhile(!_.isDigit) match {
         case "" => "other"
@@ -212,9 +234,10 @@ object Bench {
       .toSeq.sortBy(_._1)
     def withFamilies(p: Int): String =
       s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","n":${
-        results.size},"families":${jsonMap(families, p)},"sf":"$sfName"}"""
+        results.size},"families":${jsonMap(families, p)}$errs,"sf":"$sfName"}"""
     ((3 to 1 by -1).map(withQueries) ++ (3 to 1 by -1).map(withFamilies))
       .find(_.length <= maxLen).getOrElse(
-        s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"sf":"$sfName"}""")
+        s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${
+          results.size}$errs,"sf":"$sfName"}""")
   }
 }

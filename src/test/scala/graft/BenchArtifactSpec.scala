@@ -66,6 +66,26 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(tiny.length <= 120)
   }
 
+  test("all-pass failures surface as errs; clean runs emit no errs field") {
+    // The dead-SparkContext mode (executor OOM under an undersized
+    // heap, disk-full shuffle spill — both hit in round 10): every
+    // save fails in ~10 ms and the artifact looks plausibly FAST.
+    // renderLine must mark those rows so a consumer can reject the run.
+    val results = Map("q01_x" -> 0.011, "d01_y" -> 0.009)
+    val dirty = Bench.renderLine(results, "sf10", maxLen = 1950,
+      failed = Set("q01_x", "d01_y"))
+    val dnode = mapper.readTree(dirty)
+    assert(dnode.get("errs").asInt() === 2)
+    assert(dnode.get("sf").asText() === "sf10")
+    // errs survives every degradation tier, including total-only
+    val tiny = Bench.renderLine(results, "sf10", maxLen = 60,
+      failed = Set("q01_x"))
+    assert(mapper.readTree(tiny).get("errs").asInt() === 1)
+    // a clean run's line is byte-identical to the pre-round-10 format
+    val clean = Bench.renderLine(results, "sf10", maxLen = 1950)
+    assert(mapper.readTree(clean).get("errs") === null)
+  }
+
   test("empty and zero-valued results stay parseable") {
     val none = Bench.renderLine(Map.empty, "sf0.1", maxLen = 1950)
     assert(mapper.readTree(none).get("value").asDouble() === 0.0)

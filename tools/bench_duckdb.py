@@ -59,6 +59,13 @@ def worker(sf_dir, oracle_path, name):
     print(json.dumps({"t": time.perf_counter() - t0}))
 
 
+def clean_spill():
+    """Drop leaked spill files from killed workers (best-effort)."""
+    import shutil
+    shutil.rmtree(os.environ.get("DUCK_TMP", "/tmp/duck_spill"),
+                  ignore_errors=True)
+
+
 def isolated_pass(sf_dir, oracle_path, names, limit, best, errors):
     for name in names:
         if name in errors:
@@ -81,6 +88,10 @@ def isolated_pass(sf_dir, oracle_path, names, limit, best, errors):
                    else str(e))
             print(f"[duckdb-bench] {name} FAILED after {dt:.1f}s: {msg}",
                   file=sys.stderr)
+            # a killed worker leaks its on-disk spill (DuckDB only cleans
+            # temp_directory on graceful close) — round 10 left 33 GB
+            # behind after 4 timeouts and the NEXT bench died disk-full
+            clean_spill()
             errors[name] = msg
             if name not in best or dt < best[name]:
                 best[name] = dt
@@ -144,6 +155,7 @@ def main():
 
 
 def finish(best, errors, runs, sf_dir):
+    clean_spill()
     total = sum(best.values())
     out = {"metric": "duckdb_total", "value": round(total, 3), "unit": "sec",
            "n": len(best), "runs": runs, "sf": Path(sf_dir).name,
