@@ -852,6 +852,101 @@ case class NGramExplode(child: Expression, n: Int)
   override def prettyName: String = "ngrams"
 }
 
+object NGramDistinctExplode {
+  /** SQL/call_function builder: `ngrams_distinct(arr, n)` (same
+    * validation contract as NGramExplode.fromExprs).
+    */
+  def fromExprs(exprs: Seq[Expression]): NGramDistinctExplode = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "ngrams_distinct(arr, n) requires a literal n")
+    val nv = exprs(1).eval()
+    require(nv != null && nv.isInstanceOf[Number] &&
+        nv.asInstanceOf[Number].intValue() > 0,
+      s"ngrams_distinct n must be a positive integer literal, got $nv")
+    NGramDistinctExplode(exprs.head, nv.asInstanceOf[Number].intValue())
+  }
+}
+
+/** DISTINCT sliding word-n-grams of one row, each tagged with the row's
+  * distinct-n-gram count: (sz, g) rows in first-occurrence order — the
+  * shingling primitive behind the dedup ladder (d02/d03/d04/d06/d13),
+  * whose similarity math needs every posting to carry its document's
+  * distinct-shingle count map-side.
+  *
+  * Exists because the declarative composition
+  * `explode(array_distinct(transform(sequence(...), i ->
+  * concat_ws(..., element_at(w, i+1), ...))))` is quadratic in document
+  * length once CollapseProject inlines the `split(text)` that produced
+  * `w` into the lambda body: ArrayTransform is CodegenFallback, so the
+  * lambda runs interpreted and re-splits the ENTIRE document for every
+  * element_at of every window — O(3·W²) per doc (round-10 catch: one
+  * 390 s straggler task in the cold shingle materialization at sf10,
+  * jstack showed StringSplit.nullSafeEval under ConcatWs.eval). Here
+  * the token array is evaluated ONCE per row and the window slide +
+  * row-local dedup is O(W·n).
+  *
+  * Rows with fewer than n tokens emit nothing; null tokens join as
+  * empty strings (split() never produces them in our pipelines).
+  */
+case class NGramDistinctExplode(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngrams_distinct requires array<string>, got ${other.simpleString(10)}")
+    }
+
+  override def elementSchema: StructType = new StructType()
+    .add("sz", LongType, nullable = false)
+    .add("g", StringType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val len = arr.numElements()
+      if (len < n) Iterator.empty
+      else {
+        val toks = new Array[UTF8String](len)
+        var i = 0
+        while (i < len) {
+          toks(i) =
+            if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+          i += 1
+        }
+        val sep = UTF8String.fromString(" ")
+        // first-occurrence order = array_distinct's order, so the
+        // composed form and this generator emit IDENTICAL row sequences
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        var s = 0
+        while (s <= len - n) {
+          val parts = new Array[UTF8String](n)
+          System.arraycopy(toks, s, parts, 0, n)
+          seen.add(UTF8String.concatWs(sep, parts: _*))
+          s += 1
+        }
+        val sz = seen.size.toLong
+        val it = seen.iterator()
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): InternalRow = InternalRow(sz, it.next())
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramDistinctExplode =
+    copy(child = newChild)
+  override def prettyName: String = "ngrams_distinct"
+}
+
 object NGramCountExplode {
   /** SQL/call_function builder: `ngram_counts(tokens, n)` (same
     * validation contract as NGramExplode.fromExprs).
@@ -1576,6 +1671,8 @@ object CustomFunctions {
     ("topk_agg", TopKAgg.fromExprs _, classOf[TopKAgg]),
     ("pq_encode", PqEncode.fromExprs _, classOf[PqEncode]),
     ("ngrams", NGramExplode.fromExprs _, classOf[NGramExplode]),
+    ("ngrams_distinct", NGramDistinctExplode.fromExprs _,
+      classOf[NGramDistinctExplode]),
     ("ngram_stats", NGramStats.fromExprs _, classOf[NGramStats]),
     ("ngram_counts", NGramCountExplode.fromExprs _, classOf[NGramCountExplode]),
     ("top_cells", TopCells.fromExprs _, classOf[TopCells]),

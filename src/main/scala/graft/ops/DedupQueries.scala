@@ -40,19 +40,19 @@ object DedupQueries {
     * MinHash / SimHash pipelines and their oracles.
     */
   def wordTrigrams(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    docs
-      .select(col("doc_id"), w.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("w")) - 3),
-          i => concat_ws(" ",
-            element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2),
-            element_at(col("w"), i + 3)))).as("arr"))
-      .select(col("doc_id"), size(col("arr")).cast("long").as("sz"),
-        explode(col("arr")).as("g"))
+    // Native generator, NOT the declarative
+    // explode(array_distinct(transform(sequence(...), i ->
+    // concat_ws(..., element_at(w, i+x))))) composition: ArrayTransform
+    // is CodegenFallback and CollapseProject inlines the w-producing
+    // split(text) into the lambda, so the interpreted lambda re-splits
+    // the WHOLE document per window element — O(3·W²) per doc (the
+    // round-10 cold-materialization straggler: one 390 s task at sf10,
+    // stack in NGramDistinctExplode's scaladoc). The generator
+    // evaluates split once per row and slides in O(W·n), emitting the
+    // identical (sz, g) rows in the identical first-occurrence order.
+    graft.functions.CustomFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("ngrams_distinct", split(col("text"), " "), lit(3)))
   }
 
   /** Session-scoped memo of the cached shingle relation: d02/d03/d04/d06

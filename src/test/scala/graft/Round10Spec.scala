@@ -123,6 +123,56 @@ class Round10Spec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ngrams_distinct generator ≡ the composed distinct-trigram form") {
+    // wordTrigrams' old body — the O(W²)-under-CollapseProject
+    // composition the generator replaces (see NGramDistinctExplode
+    // scaladoc); must emit the IDENTICAL (doc_id, sz, g) rows,
+    // including first-occurrence order within a doc and nothing for
+    // docs under 3 words.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b c"), // dup trigram "a b c" → distinct keeps first
+      (2L, "x y"),           // < 3 words → no rows
+      (3L, "s s s s"),       // all-identical tokens → one distinct trigram
+      (4L, "one two three")  // exactly one window
+    ).toDF("doc_id", "text")
+    val w = split(col("text"), " ")
+    val composed = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ",
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3)))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("sz"),
+        explode(col("arr")).as("g"))
+      .collect().map(_.toSeq).toSeq
+    val viaGen = graft.ops.DedupQueries.wordTrigrams(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(viaGen === composed)
+    // and on real corpus data, same multiset + same per-doc sz
+    val real = graft.io.Tables.table(spark, sf, "documents").limit(200)
+    val a = graft.ops.DedupQueries.wordTrigrams(real)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = real
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ",
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3)))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("sz"),
+        explode(col("arr")).as("g"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.nonEmpty && a === b)
+  }
+
   test("q10 pre-aggregated form ≡ shipped union-groupBy form (both SFs)") {
     // the round-10 A/B lever: tuAgg computed once, in_addrs a lookup of
     // the single previous order — must be row-identical to the shipped
