@@ -118,30 +118,33 @@ object Bench {
     // (~1 min at sf0.1) reject far more of it than they cost.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption)
       .filter(_ > 0).getOrElse(5)
+    // `best` only ever records SUCCESSFUL saves: a failed pass's
+    // time-to-exception must never become a query's best (a dead
+    // SparkContext after pass 1 fails every later save in ~10 ms — with
+    // best updated unconditionally those rows collapse to plausibly-fast
+    // garbage while failCount stays below `passes`, so nothing flags it).
+    // A query is "failed" iff it has ZERO successful passes.
     val best = scala.collection.mutable.Map.empty[String, Double]
-    val failCount = scala.collection.mutable.Map.empty[String, Int]
+    val okCount = scala.collection.mutable.Map.empty[String, Int]
     (1 to passes).foreach { _ =>
       ordered.foreach { case (name, df) =>
         val t0 = System.nanoTime()
         try {
           if (df == null) throw new IllegalStateException("construction failed")
           df.write.mode("overwrite").format("noop").save()
-        } catch { case _: Throwable =>
-          failCount(name) = failCount.getOrElse(name, 0) + 1 }
-        val t = (System.nanoTime() - t0) / 1e9
-        if (!best.contains(name) || t < best(name)) best(name) = t
+          val t = (System.nanoTime() - t0) / 1e9
+          okCount(name) = okCount.getOrElse(name, 0) + 1
+          if (!best.contains(name) || t < best(name)) best(name) = t
+        } catch { case _: Throwable => () }
       }
     }
+    // `results` therefore contains ONLY queries with at least one real
+    // timing — failed rows are excluded from `queries` and the summed
+    // `value` by construction, and their names ride in "errs" so a
+    // consumer of the persisted JSON can tell which rows are missing.
     val results = best.toMap
-    // A query that failed EVERY pass has no real timing — its "best" is
-    // time-to-exception. The dangerous shape is a DEAD SparkContext
-    // (executor OOM at 8g heap, disk-full shuffle spill — both hit this
-    // round at sf10/sf30): every save fails in ~10 ms and the artifact
-    // looks plausibly FAST. Mark such rows in the artifact ("errs") and
-    // exit nonzero when the whole suite is garbage so a chained
-    // campaign stops instead of persisting it.
     val failed = ordered.collect {
-      case (name, _) if failCount.getOrElse(name, 0) >= passes => name
+      case (name, _) if okCount.getOrElse(name, 0) == 0 => name
     }.toSet
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size}/${ordered.size} queries " +
@@ -218,13 +221,20 @@ object Bench {
     def jsonMap(m: Seq[(String, Double)], p: Int): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v, p) }
         .mkString("{", ",", "}")
-    // "errs" = queries that failed EVERY timed pass (their time is
-    // time-to-exception, not a measurement) — absent when the run is
-    // clean, so existing consumers see an unchanged line.
-    val errs = if (failed.isEmpty) "" else s""","errs":${failed.size}"""
-    def withQueries(p: Int): String =
+    // "errs" = queries with ZERO successful timed passes (their rows are
+    // excluded from `queries`/`value` upstream) — absent when the run is
+    // clean, so existing consumers see an unchanged line. Preferred form
+    // is the NAME LIST (a consumer of the persisted artifact must be able
+    // to tell WHICH rows are missing); under a tight tail budget it
+    // degrades to a count, which still flags the run as dirty.
+    def errsField(names: Boolean): String =
+      if (failed.isEmpty) ""
+      else if (names) s""","errs":${failed.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      else s""","errs":${failed.size}"""
+    def withQueries(p: Int, errNames: Boolean): String =
       s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","queries":${
-        jsonMap(results.toSeq.sortBy(_._1), p)}$errs,"sf":"$sfName"}"""
+        jsonMap(results.toSeq.sortBy(_._1), p)}${errsField(errNames)},"sf":"$sfName"}"""
     val families = results.toSeq
       .groupBy { case (k, _) => k.takeWhile(!_.isDigit) match {
         case "" => "other"
@@ -232,12 +242,19 @@ object Bench {
       } }
       .map { case (f, kvs) => f -> kvs.map(_._2).sum }
       .toSeq.sortBy(_._1)
-    def withFamilies(p: Int): String =
+    def withFamilies(p: Int, errNames: Boolean): String =
       s"""{"metric":"total","value":${fmt(total, p)},"unit":"sec","n":${
-        results.size},"families":${jsonMap(families, p)}$errs,"sf":"$sfName"}"""
-    ((3 to 1 by -1).map(withQueries) ++ (3 to 1 by -1).map(withFamilies))
+        results.size},"families":${jsonMap(families, p)}${
+        errsField(errNames)},"sf":"$sfName"}"""
+    // Degrade order: keep the per-query map as long as possible (names →
+    // count for errs within each tier), then families, then total-only
+    // with an errs COUNT (the unconditional fallback must be minimal).
+    ((3 to 1 by -1).map(withQueries(_, errNames = true)) ++
+      (3 to 1 by -1).map(withQueries(_, errNames = false)) ++
+      (3 to 1 by -1).map(withFamilies(_, errNames = true)) ++
+      (3 to 1 by -1).map(withFamilies(_, errNames = false)))
       .find(_.length <= maxLen).getOrElse(
         s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${
-          results.size}$errs,"sf":"$sfName"}""")
+          results.size}${errsField(names = false)},"sf":"$sfName"}""")
   }
 }

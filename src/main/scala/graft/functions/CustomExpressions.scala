@@ -802,8 +802,11 @@ object NGramExplode {
   * heap before exploding it, with the lambda evaluated interpretively
   * per window.
   *
-  * Rows with fewer than n tokens emit nothing; null tokens join as
-  * empty strings (split() never produces them in our pipelines).
+  * Rows with fewer than n tokens emit nothing; NULL tokens are SKIPPED
+  * when joining a window (ConcatWs semantics — "a",NULL,"b" at n=3
+  * yields "a b"), exactly matching the concat_ws-composed declarative
+  * form this generator replaces (split() never produces nulls in our
+  * pipelines, so the gate is insensitive to the choice).
   */
 case class NGramExplode(child: Expression, n: Int)
     extends UnaryExpression
@@ -834,7 +837,7 @@ case class NGramExplode(child: Expression, n: Int)
         var i = 0
         while (i < len) {
           toks(i) =
-            if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+            if (arr.isNullAt(i)) null else arr.getUTF8String(i)
           i += 1
         }
         val sep = UTF8String.fromString(" ")
@@ -885,8 +888,11 @@ object NGramDistinctExplode {
   * the token array is evaluated ONCE per row and the window slide +
   * row-local dedup is O(W·n).
   *
-  * Rows with fewer than n tokens emit nothing; null tokens join as
-  * empty strings (split() never produces them in our pipelines).
+  * Rows with fewer than n tokens emit nothing; NULL tokens are SKIPPED
+  * when joining a window (ConcatWs semantics — "a",NULL,"b" at n=3
+  * yields "a b"), exactly matching the concat_ws-composed declarative
+  * form this generator replaces (split() never produces nulls in our
+  * pipelines, so the gate is insensitive to the choice).
   */
 case class NGramDistinctExplode(child: Expression, n: Int)
     extends UnaryExpression
@@ -918,7 +924,7 @@ case class NGramDistinctExplode(child: Expression, n: Int)
         var i = 0
         while (i < len) {
           toks(i) =
-            if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+            if (arr.isNullAt(i)) null else arr.getUTF8String(i)
           i += 1
         }
         val sep = UTF8String.fromString(" ")
@@ -966,7 +972,7 @@ object NGramCountExplode {
 /** Generator emitting each DISTINCT n-gram of a token array once, with
   * its within-row multiplicity: `(ngram string, cnt long)` rows, in
   * first-occurrence order. N-gram strings match [[NGramExplode]]
-  * exactly (space-joined, NULL tokens as empty strings).
+  * exactly (space-joined, NULL tokens skipped per ConcatWs).
   *
   * The corpus-statistics primitive behind collocation/document-frequency
   * scans (t10): `ngrams(...)` explodes every INSTANCE, so a downstream
@@ -1007,7 +1013,7 @@ case class NGramCountExplode(child: Expression, n: Int)
         var i = 0
         while (i < len) {
           toks(i) =
-            if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+            if (arr.isNullAt(i)) null else arr.getUTF8String(i)
           i += 1
         }
         val sep = UTF8String.fromString(" ")
@@ -1057,7 +1063,7 @@ object NGramStats {
   /** One pass over the token array: total n-gram count, distinct n-gram
     * count, and the highest single n-gram multiplicity. N-gram strings
     * are built exactly as [[NGramExplode]] builds them (space-joined,
-    * NULL tokens as empty strings), so the stats equal the
+    * NULL tokens skipped per ConcatWs), so the stats equal the
     * explode→GROUP BY composition's aggregate row for every input.
     */
   def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): InternalRow = {
@@ -1067,7 +1073,7 @@ object NGramStats {
     val toks = new Array[UTF8String](len)
     var i = 0
     while (i < len) {
-      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
       i += 1
     }
     val sep = UTF8String.fromString(" ")

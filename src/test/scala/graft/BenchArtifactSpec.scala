@@ -71,13 +71,20 @@ class BenchArtifactSpec extends AnyFunSuite {
     // heap, disk-full shuffle spill — both hit in round 10): every
     // save fails in ~10 ms and the artifact looks plausibly FAST.
     // renderLine must mark those rows so a consumer can reject the run.
+    // At a generous budget errs carries the NAMES (sorted array) — a
+    // consumer of the persisted artifact must be able to tell which rows
+    // are missing, not just how many.
     val results = Map("q01_x" -> 0.011, "d01_y" -> 0.009)
     val dirty = Bench.renderLine(results, "sf10", maxLen = 1950,
       failed = Set("q01_x", "d01_y"))
     val dnode = mapper.readTree(dirty)
-    assert(dnode.get("errs").asInt() === 2)
+    assert(dnode.get("errs").isArray)
+    assert(dnode.get("errs").size() === 2)
+    assert(dnode.get("errs").get(0).asText() === "d01_y")
+    assert(dnode.get("errs").get(1).asText() === "q01_x")
     assert(dnode.get("sf").asText() === "sf10")
-    // errs survives every degradation tier, including total-only
+    // errs survives every degradation tier, including total-only, where
+    // it degrades to a count (the unconditional fallback stays minimal)
     val tiny = Bench.renderLine(results, "sf10", maxLen = 60,
       failed = Set("q01_x"))
     assert(mapper.readTree(tiny).get("errs").asInt() === 1)

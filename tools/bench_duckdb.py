@@ -32,13 +32,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def spill_dir():
+    """The on-disk spill dir this script OWNS and may delete wholesale.
+
+    A user-supplied DUCK_TMP gets a fixed 'duck_spill' leaf appended, so
+    clean_spill()'s rmtree can never recurse into a shared/pre-existing
+    directory (DUCK_TMP=/tmp would otherwise delete all of /tmp).
+    """
+    base = os.environ.get("DUCK_TMP")
+    return str(Path(base) / "duck_spill") if base else "/tmp/duck_spill"
+
+
 def connect(sf_dir):
     import duckdb
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     con.execute(f"SET memory_limit='{os.environ.get('MEMLIMIT', '80GB')}'")
-    tmp = os.environ.get("DUCK_TMP", "/tmp/duck_spill")
-    Path(tmp).mkdir(exist_ok=True)
+    tmp = spill_dir()
+    Path(tmp).mkdir(parents=True, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
     con.execute(
         f"SET max_temp_directory_size='{os.environ.get('TMPCAP', '40GB')}'")
@@ -60,10 +71,13 @@ def worker(sf_dir, oracle_path, name):
 
 
 def clean_spill():
-    """Drop leaked spill files from killed workers (best-effort)."""
+    """Drop leaked spill files from killed workers (best-effort).
+
+    Only ever removes spill_dir() — a leaf this script created — never a
+    user-supplied DUCK_TMP directly (which may be a shared dir).
+    """
     import shutil
-    shutil.rmtree(os.environ.get("DUCK_TMP", "/tmp/duck_spill"),
-                  ignore_errors=True)
+    shutil.rmtree(spill_dir(), ignore_errors=True)
 
 
 def isolated_pass(sf_dir, oracle_path, names, limit, best, errors):
