@@ -98,8 +98,8 @@ object DedupQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val chunksMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val prefixMemo =
-    scala.collection.concurrent.TrieMap.empty[(DataFrame, Double), DataFrame]
+  private val rankedMemo =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
 
   /** Drop every shared cached relation. The memos assume the dir's
     * parquet is immutable for the session's lifetime (true for the
@@ -114,8 +114,8 @@ object DedupQueries {
         m.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
         m.clear()
       }
-    prefixMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    prefixMemo.clear()
+    rankedMemo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    rankedMemo.clear()
   }
 
   /** Matching DuckDB CTEs producing the same (doc_id, g) relation. */
@@ -253,8 +253,38 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
-    // sizes ride the postings (see d02/wordTrigrams) — no corpus-sized
-    // sizes relation after the pair aggregate
+    // Path pick is a parquet-metadata count (no data scan) — the d04
+    // Manku-gate precedent: parameters/plan grow with N, the OUTPUT
+    // doesn't move (both paths are exact; the oracle stands for either).
+    val nDocs = table(spark, dir, "documents").count()
+    if (nDocs > containLadderGate) containmentLadder(spark, dir)
+    else containmentDirect(spark, dir)
+  }
+
+  /** Containment threshold for d13 (C ≥ t keeps the pair). */
+  val containThreshold = 0.9
+
+  /** Document count above which d13 switches from the direct
+    * inverted-index join to the prefix ladder ([[containmentLadder]]).
+    * Below it the direct join's single pair-aggregate shuffle beats the
+    * ladder's extra window + verify joins (at sf1's 50k docs the
+    * ladder's fixed stages dominate: direct ~2.0 s vs ladder ~2.6 s
+    * solo); above it the Σ df² pair volume of the full index dominates
+    * everything and the ladder's ~(1−t) prefix fraction wins (sf10,
+    * 500k docs: ladder ~16.5 s vs direct ~19.5 s best-of-3 in the same
+    * window, before the positional filter; see BASELINE.md for the
+    * shipped numbers). The gate splits the measured octaves.
+    * Driver-gate SFs stay far below (plans and outputs untouched).
+    */
+  val containLadderGate = 150000L
+
+  /** d13's direct inverted-index containment join — the small-N path.
+    * Sizes ride the postings (see d02/wordTrigrams), so no corpus-sized
+    * sizes relation after the pair aggregate. No SSJoin length filter:
+    * containment admits asymmetric sizes (that filter would be WRONG
+    * here, not just slow).
+    */
+  def containmentDirect(spark: SparkSession, dir: String): DataFrame = {
     val grams = sharedGrams(spark, dir)
     val ga = grams.select(col("doc_id").as("a"), col("g").as("ga"),
       col("sz").as("sa"))
@@ -267,7 +297,69 @@ object DedupQueries {
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         (col("i").cast("double") / least(col("sa"), col("sb"))).as("containment"),
         (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
-      .filter(col("containment") >= 0.9)
+      .filter(col("containment") >= containThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d13's containment prefix ladder — the scale path. Asymmetric
+    * AllPairs prefix filtering for an overlap-on-the-smaller-set
+    * predicate: if C(A,B) = |A∩B|/min(|A|,|B|) ≥ t with |A| ≤ |B|, the
+    * required overlap is o = ⌈t·|A|⌉, so under the global (df, h) order
+    * at least one of A's first |A| − o + 1 shingles is in B (else the
+    * intersection fits inside A's last o − 1). Candidates therefore
+    * come from joining the SMALLER doc's prefix ([[prefixRelation]] at
+    * [[containThreshold]] — the same rarest-first order d06 indexes)
+    * against the FULL postings index, oriented by (sz, doc_id) so each
+    * qualifying pair is generated exactly from its smaller side; exact
+    * verification over [[sharedGramSets]] then computes the true
+    * containment, so the output is IDENTICAL to [[containmentDirect]]
+    * (Round11Spec pins the equality; the oracle stands unchanged).
+    *
+    * Why it scales where direct doesn't: the full index's pair
+    * aggregate receives Σ_g df(g)² /2 rows; the ladder's join emits
+    * Σ_g prefix(g)·df(g) — the prefix holds only each doc's ~(1−t)
+    * rarest shingles, so hot (boilerplate) shingles enter prefixes only
+    * for docs with nothing rarer, bounding the per-key blowup the same
+    * way d06 does. Verification is linear in surviving candidates.
+    */
+  def containmentLadder(spark: SparkSession, dir: String): DataFrame = {
+    val grams = sharedGrams(spark, dir)
+    val pfx = prefixRelation(grams, containThreshold)
+      .select(col("doc_id").as("a"), col("sz").as("sa"), col("rn").as("ra"),
+        col("h").as("ha"))
+    val full = rankedGrams(grams).select(col("doc_id").as("b"),
+      col("sz").as("sb"), col("rn").as("rb"), col("h").as("hb"))
+    // Positional filter (PPJoin, Xiao et al.): all shared shingles of a
+    // pair sit at positions ≥ (ra, rb) of its FIRST shared shingle in
+    // the global order, so overlap ≤ 1 + min(sa−ra, sb−rb); a matched
+    // row can witness C ≥ t only if that bound reaches o = ⌈t·sa⌉
+    // (sa = the smaller size by the orientation condition). Applying it
+    // per matched row keeps at least the first-shared-shingle row of
+    // every qualifying pair — completeness is preserved — while
+    // size-incompatible postings never reach the candidate distinct.
+    // SHJ: like d02/d13-direct, the index join emits more rows than it
+    // reads; the build side is one shingle-partition's prefix postings.
+    val cand = pfx
+      .join(full.hint("shuffle_hash"),
+        col("ha") === col("hb") && (col("sa") < col("sb") ||
+          (col("sa") === col("sb") && col("a") < col("b"))) &&
+          lit(1) + least(col("sa") - col("ra"), col("sb") - col("rb")) >=
+            ceil(col("sa") * containThreshold))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val sets = sharedGramSets(spark, dir)
+    cand
+      .join(sets.toDF("a", "ga"), "a")
+      .join(sets.toDF("b", "gb"), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("i"),
+        size(col("ga")).cast("long").as("sa"),
+        size(col("gb")).cast("long").as("sb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / least(col("sa"), col("sb"))).as("containment"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+      .filter(col("containment") >= containThreshold)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -525,32 +617,57 @@ object DedupQueries {
   // ---------------------------------------------------------------------
   val jaccardThreshold = 0.8
 
-  /** The df-ordered prefix candidate pairs (a, b) — exposed so the spec
-    * can count candidates and compare orderings.
+  /** The RANKED postings index: every posting with its document's
+    * position in the global (df asc, xxhash64 tiebreak) order — rows
+    * `(doc_id, sz, df, rn, h)`. Threshold-INDEPENDENT (rank depends
+    * only on the global order), so one cached relation serves every
+    * prefix-filtered consumer: d06's Jaccard prefix (τ = 0.8) and
+    * d13's containment ladder (t = 0.9) both derive their prefixes by
+    * a cheap filter over this base, and the ladder's positional filter
+    * reads `rn` straight off the full side. At 100 TB this is the
+    * persisted similarity index a real pipeline maintains — postings
+    * sorted rarest-first with positions, written once, filtered per
+    * consumer. Cached + memoized per grams identity: the two window
+    * sorts over the full shingle relation are the dominant cost and
+    * would otherwise run once per consumer per join side. `sz` rides
+    * the grams map-side (wordTrigrams) — no per-doc count window, only
+    * the df count over g and the rank.
     */
-  def prefixCandidates(grams: DataFrame, threshold: Double): DataFrame = {
+  def rankedGrams(grams: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // df via a count window over g: ONE shuffle on the shingle (vs the
-    // groupBy-then-join-back shape's two); then the per-doc prefix via a
-    // rank window over (df, h) — one doc_id shuffle, no array
+    // groupBy-then-join-back shape's two); then the per-doc rank via a
+    // row_number window over (df, h) — one doc_id shuffle, no array
     // build/slice/explode round-trip
     val byG = Window.partitionBy("g")
     val byDoc = Window.partitionBy("doc_id")
-    // cached + memoized: the prefix relation feeds BOTH sides of the
-    // candidate self-join, and a self-join recomputes its subtree per
-    // side — the two window sorts over the full shingle relation are
-    // the dominant d06 cost, so compute them once (keyed on the grams
-    // DataFrame's identity: sharedGrams memoizes, so repeat invocations
-    // hit the same key instead of pinning a fresh cache per run)
-    val prefixes = prefixMemo.getOrElseUpdate((grams, threshold),
+    rankedMemo.getOrElseUpdate(grams,
       grams
         .withColumn("df", count(lit(1)).over(byG))
         .withColumn("h", xxhash64(col("g")))
         .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
-        .withColumn("sz", count(lit(1)).over(byDoc))
-        .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-        .select(col("doc_id"), col("df"), col("h"))
+        .select(col("doc_id"), col("sz"), col("df"), col("rn"), col("h"))
         .cache())
+  }
+
+  /** The df-ordered PREFIX of every document's shingle set at threshold
+    * `t`: each doc's rarest-first shingles up to prefix length
+    * `sz − ⌈sz·t⌉ + 1` — the exact prefix bound for required overlap
+    * `⌈t·sz⌉` under any global total order. A plain filter over the
+    * cached [[rankedGrams]] index (not separately cached).
+    */
+  def prefixRelation(grams: DataFrame, threshold: Double): DataFrame =
+    rankedGrams(grams)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+
+  /** The df-ordered prefix candidate pairs (a, b) — exposed so the spec
+    * can count candidates and compare orderings.
+    */
+  def prefixCandidates(grams: DataFrame, threshold: Double): DataFrame = {
+    // both sides of the self-join re-derive the prefix by filtering the
+    // CACHED rankedGrams base — only the filter reruns per side
+    val prefixes = prefixRelation(grams, threshold)
+      .select("doc_id", "df", "h")
     prefixes.toDF("a", "dfa", "ha")
       .join(prefixes.toDF("b", "dfb", "hb"),
         col("ha") === col("hb") && col("dfa") === col("dfb") && col("a") < col("b"))

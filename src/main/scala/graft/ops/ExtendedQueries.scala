@@ -849,22 +849,55 @@ object ExtendedQueries {
        |WHERE l_orderkey IN (
        |  SELECT o_orderkey FROM orders WHERE o_totalprice > $bloomPriceMin)
        |GROUP BY 1 ORDER BY 1""".stripMargin
-  ) { (spark, dir) =>
+  ) { (spark, dir) => q33Pipeline(spark, dir) }
+
+  /** q33's body with the bloom GATED on expected repayment (round 11).
+    * The bloom's only value is cutting rows from the semi join's
+    * shuffle; it can repay its build + per-row probe only when
+    *   (a) that shuffle crosses a NETWORK (a `local[...]` master's
+    *       "shuffle" is shared-memory I/O — measured at sf10: nobloom
+    *       2.15 s < sized bloom 2.99 s, the bloom is pure overhead
+    *       locally no matter how well it prunes), and
+    *   (b) the dim filter is SELECTIVE (expected cut ≥ half the fact
+    *       rows: nKeys·2 < nOrders under the uniform lineitem-per-order
+    *       fill; a high-pass-rate bloom passes almost everything and
+    *       only adds a hash per row).
+    * Both paths end in the same exact semi join, so the output — and
+    * the oracle — are identical; only the pruning stage is gated
+    * (BloomSemiJoinSpec pins path equality and plan shape both ways).
+    * On the gated-off path the key count is skipped too: it existed
+    * only to size the bloom, and a metadata-cheap isLocal check must
+    * not pay a scan to decide to do nothing.
+    * `forceBloom` overrides the gate for specs/benchmarks.
+    */
+  def q33Pipeline(spark: SparkSession, dir: String,
+      forceBloom: Option[Boolean] = None): DataFrame = {
     import graft.functions.CustomFunctions
     CustomFunctions.register(spark)
     val keys = table(spark, dir, "orders")
       .filter(col("o_totalprice") > bloomPriceMin).select("o_orderkey")
-    // size from the data, never a constant (see saturation note above);
-    // the count is a pushed-filter single-column scan — cheap relative
-    // to a bloom that silently stops pruning
-    val nKeys = keys.count()
-    val bloomBytes = keys
-      .agg(call_function("bloom_agg", xxhash64(col("o_orderkey")),
-        lit(math.max(nKeys, 4096L))))
-      .collect()(0).getAs[Array[Byte]](0)
-    val pruned = table(spark, dir, "lineitem")
-      .filter(call_function("bloom_might_contain",
+    val useBloom = forceBloom.getOrElse {
+      !spark.sparkContext.isLocal && {
+        // both counts are pushed-filter single-column / metadata scans
+        val nKeys = keys.count()
+        val nOrders = table(spark, dir, "orders").count()
+        nKeys * 2 < nOrders
+      }
+    }
+    val fact = table(spark, dir, "lineitem")
+    val pruned = if (!useBloom) fact
+    else {
+      // size from the data, never a constant (see saturation note
+      // above); the count is a pushed-filter single-column scan —
+      // cheap relative to a bloom that silently stops pruning
+      val nKeys = keys.count()
+      val bloomBytes = keys
+        .agg(call_function("bloom_agg", xxhash64(col("o_orderkey")),
+          lit(math.max(nKeys, 4096L))))
+        .collect()(0).getAs[Array[Byte]](0)
+      fact.filter(call_function("bloom_might_contain",
         lit(bloomBytes), xxhash64(col("l_orderkey"))))
+    }
     pruned
       // keys is the price-filtered order set — data-dependent, so the
       // exact semi join is unhinted; the bloom (a KB regardless of key

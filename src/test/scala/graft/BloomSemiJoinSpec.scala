@@ -52,5 +52,24 @@ class BloomSemiJoinSpec extends SparkSpec {
     val got = ExtendedQueries.q33.fn(spark, sf).collect().toSeq
     assert(got == expect)
     assert(got.nonEmpty)
+    // The round-11 repayment gate: both forced paths produce the same
+    // rows (the bloom is pruning-only), the BLOOM path's plan carries
+    // the probe on the selective fixture, and the gated-off path's
+    // doesn't (locally the bloom is pure overhead — measured at sf10).
+    val viaBloom = ExtendedQueries.q33Pipeline(spark, sf,
+      forceBloom = Some(true))
+    val noBloom = ExtendedQueries.q33Pipeline(spark, sf,
+      forceBloom = Some(false))
+    assert(viaBloom.collect().toSeq == expect)
+    assert(noBloom.collect().toSeq == expect)
+    assert(viaBloom.queryExecution.executedPlan.toString
+      .contains("might_contain"), "bloom path lost its probe")
+    assert(!noBloom.queryExecution.executedPlan.toString
+      .contains("might_contain"), "gated-off path still probes")
+    // on a local master the gate itself picks the no-bloom plan
+    assert(spark.sparkContext.isLocal)
+    assert(!ExtendedQueries.q33.fn(spark, sf).queryExecution.executedPlan
+      .toString.contains("might_contain"),
+      "gate failed to skip the bloom on a local master")
   }
 }

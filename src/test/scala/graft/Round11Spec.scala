@@ -86,4 +86,18 @@ class Round11Spec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(gotC === expC)
   }
+
+  test("d13 containment ladder ≡ direct inverted-index join (both SFs)") {
+    // The scale path (prefix-of-the-smaller candidates + exact verify)
+    // must be row-identical to the direct pair aggregate — same pairs,
+    // same containment/jaccard values — at every corpus it's forced on.
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val direct = graft.ops.DedupQueries.containmentDirect(spark, dir)
+        .collect().map(_.toString).toSeq
+      val ladder = graft.ops.DedupQueries.containmentLadder(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(direct.nonEmpty, s"no containment pairs at $dir")
+      assert(ladder === direct, s"diverged at $dir")
+    }
+  }
 }

@@ -107,8 +107,18 @@ def main():
                     [len(s) for s in texts], type=t.schema.field(ni).type))
             copies.append(t)
         out = pa.concat_tables(copies)
-        pq.write_table(out, f"{OUT}/{name}.parquet")
-        print(f"{name}: {src.num_rows} -> {out.num_rows} rows")
+        # Row-group SIZE matters for scan parallelism: pyarrow's default
+        # (1M rows/group) left documents/embeddings as ONE row group up
+        # to sf10 — a parquet scan cannot split inside a row group, so
+        # every text-column scan ran single-task in Spark no matter the
+        # core count (round-11 find: p09's "scan floor" was one core
+        # decoding 56 MB). A production corpus has thousands of groups;
+        # target ~32 groups per table (the local core count), bounded to
+        # sane parquet sizes, so local measurements exercise the
+        # parallel-scan shape both engines would see at scale.
+        rg = min(1_048_576, max(8_192, out.num_rows // 32))
+        pq.write_table(out, f"{OUT}/{name}.parquet", row_group_size=rg)
+        print(f"{name}: {src.num_rows} -> {out.num_rows} rows (rg={rg})")
 
 
 if __name__ == "__main__":
