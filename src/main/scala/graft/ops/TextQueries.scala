@@ -974,16 +974,26 @@ object TextQueries {
       |ORDER BY chk""".stripMargin
   ) { (spark, dir) =>
     val langs = Seq("en", "es", "de", "fr", "zh")
-    val m = table(spark, dir, "documents")
+    // COUNT(DISTINCT) rides a SEPARATE aggregate over the pruned
+    // doc_id-only scan (round 11, measured at sf10: 0.58 → 0.38 s —
+    // the text-scan floor): a distinct aggregate mixed into a plain
+    // aggregate makes Catalyst EXPAND every input row (one copy per
+    // aggregate group), doubling the rows carrying the text-derived
+    // flags through the partial aggregate. Split, the text-bearing
+    // aggregate stays expand-free and the distinct count scans one
+    // int64 column; the two 1-row results cross-join for free.
+    val m1 = table(spark, dir, "documents")
       .agg(count(lit(1)).cast("double").as("n"),
         count(col("text")).cast("double").as("text_nonnull"),
-        count_distinct(col("doc_id")).cast("double").as("distinct_ids"),
         sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
           .cast("double").as("nchars_consistent"),
         sum(when(col("lang").isin(langs: _*), 1L).otherwise(0L))
           .cast("double").as("lang_in_domain"),
         sum(when(col("n_chars").between(1L, 100000L), 1L).otherwise(0L))
           .cast("double").as("nchars_in_range"))
+    val m2 = table(spark, dir, "documents")
+      .agg(count_distinct(col("doc_id")).cast("double").as("distinct_ids"))
+    val m = m1.crossJoin(m2)
       .select((col("text_nonnull") / col("n")).as("completeness_text"),
         (col("distinct_ids") / col("n")).as("uniqueness_doc_id"),
         (col("nchars_consistent") / col("n")).as("consistency_n_chars"),
