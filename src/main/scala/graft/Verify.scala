@@ -10,8 +10,20 @@ object Verify {
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // multi-process smoke (`local-cluster[2,8,4096]`) runs the SAME
+    // gate with real executor JVMs, exercising every serialization
+    // boundary local[N] hides (custom-expression classes on executor
+    // classpaths, broadcast of trained constants, DSv2 readers
+    // re-opening files executor-side). Pair it with SPARK_GRAFT_CONF
+    // (same syntax as Bench) to point spark.executor.extraClassPath at
+    // the compiled classes.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -19,6 +31,7 @@ object Verify {
       // see Bench: keep ObjectHashAggregate partials hash-based
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "262144")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

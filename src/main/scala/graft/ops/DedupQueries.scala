@@ -267,14 +267,15 @@ object DedupQueries {
   /** Document count above which d13 switches from the direct
     * inverted-index join to the prefix ladder ([[containmentLadder]]).
     * Below it the direct join's single pair-aggregate shuffle beats the
-    * ladder's extra window + verify joins (at sf1's 50k docs the
-    * ladder's fixed stages dominate: direct ~2.0 s vs ladder ~2.6 s
-    * solo); above it the Σ df² pair volume of the full index dominates
+    * ladder's extra window + verify joins (sf1, 50k docs: direct
+    * 2.2 s vs ladder 2.9 s best-of-3, same window, shared caches
+    * warm); above it the Σ df² pair volume of the full index dominates
     * everything and the ladder's ~(1−t) prefix fraction wins (sf10,
-    * 500k docs: ladder ~16.5 s vs direct ~19.5 s best-of-3 in the same
-    * window, before the positional filter; see BASELINE.md for the
-    * shipped numbers). The gate splits the measured octaves.
-    * Driver-gate SFs stay far below (plans and outputs untouched).
+    * 500k docs: ladder 15.8 s vs direct 25.2 s best-of-3 — the pair
+    * aggregate sees 6.7M verified candidates instead of 126.6M raw
+    * pair rows; see BASELINE.md round-11 notes). The gate splits the
+    * measured octaves. Driver-gate SFs stay far below (plans and
+    * outputs untouched).
     */
   val containLadderGate = 150000L
 
