@@ -92,8 +92,11 @@ class PlanQualitySpec extends SparkSpec {
       "s07_ann_ivf_hier",     // same shape as s03
       "s04_ann_pq_adc",       // query batch; shortlist = topK×10 per query
       "s05_mmr_diversify",    // shortlist pool, mmrPool rows per query
-      "p06_decontaminate",    // held-out benchmark shingle set
-      "p10_embed_decontaminate", // held-out benchmark embedding set
+      // p06 was REMOVED from this list in round 11: its "held-out set"
+      // is the md5 split of the corpus itself — linear in the corpus,
+      // not bounded; the sf30 octave measured the broadcast going
+      // super-linear (5.12× for 3× data). shuffle_hash now.
+      "p10_embed_decontaminate", // held-out benchmark embedding set (numBench=20 rows)
       "p07_domain_mixture",   // |sources|-row quota relation
       "p12_temperature_mixture", // same quota shape
       "t11_keywords_tfidf",   // 1-row scalar N
