@@ -239,6 +239,80 @@ object Md5Lower64 {
   }
 }
 
+object HllPacked {
+  /** SQL/call_function builder: `hll_packed(value, p)` with literal p. */
+  def fromExprs(exprs: Seq[Expression]): HllPacked = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "hll_packed(value, p) requires a literal precision p")
+    val pv = exprs(1).eval()
+    require(pv != null && pv.isInstanceOf[Number], "p must be an integer literal")
+    HllPacked(exprs.head, pv.asInstanceOf[Number].intValue())
+  }
+
+  /** One MD5 + register derivation per call, packed as (j << 8) | rho:
+    * j = low p bits of the 64-bit hash, rho = leading-zero run of the
+    * remaining 64-p bits plus one (= nlz(h >>> p) - p + 1 since the
+    * shifted word always carries p guaranteed-zero high bits; the
+    * w == 0 case degenerates to the same formula because nlz(0) = 64).
+    * Bit-identical to the composed form the oracle computes with
+    * `bin()`/`length()` — rho = (64-p+1) - len(bin(w)) and
+    * len(bin(w)) = 64 - nlz(w) for w > 0. Called from generated code.
+    */
+  def packed(bytes: Array[Byte], p: Int): Long = {
+    val h = Md5Lower64.hash64(bytes)
+    val j = h & ((1L << p) - 1)
+    val rho = java.lang.Long.numberOfLeadingZeros(h >>> p) - p + 1
+    (j << 8) | rho
+  }
+}
+
+/** HyperLogLog register derivation as ONE codegen pass (q20's hot map
+  * side): hash → bucket j → rank rho, packed into a long, replacing the
+  * composed md5_lower64 + bitwiseAND + shiftrightunsigned + bin() +
+  * length() + CASE forest — the bin() branch allocated a up-to-56-char
+  * string per input row. The oracle keeps the composed relational form
+  * (DuckDB has no native twin), which stays bit-identical because both
+  * derive from the same md5 low-64 bit pattern (see HllPacked.packed).
+  * Reference anchor: the reference's DuckDB queries use approx-free
+  * exact distincts (token_fee_analysis.py:204-249); this is the §2.4
+  * scale answer, built oracle-recomputable.
+  */
+case class HllPacked(child: Expression, p: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hll_packed requires string or binary, got ${other.simpleString(10)}")
+    }
+
+  private def toBytes(input: Any): Array[Byte] = input match {
+    case s: UTF8String => s.getBytes
+    case b: Array[Byte] => b
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HllPacked.packed(toBytes(input), p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytesExpr = child.dataType match {
+      case StringType => (c: String) => s"$c.getBytes()"
+      case _ => (c: String) => c
+    }
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.HllPacked.packed(${bytesExpr(c)}, $p);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HllPacked =
+    copy(child = newChild)
+  override def prettyName: String = "hll_packed"
+}
+
 /** 64-bit feature hash with a DuckDB twin: `md5_lower64(s)` equals
   * DuckDB `md5_number_lower(s)` bit-for-bit (as the signed
   * reinterpretation), unlike `xxhash64`, which no oracle engine can
@@ -1683,6 +1757,7 @@ object CustomFunctions {
     ("ngram_counts", NGramCountExplode.fromExprs _, classOf[NGramCountExplode]),
     ("top_cells", TopCells.fromExprs _, classOf[TopCells]),
     ("md5_lower64", Md5Lower64.fromExprs _, classOf[Md5Lower64]),
+    ("hll_packed", HllPacked.fromExprs _, classOf[HllPacked]),
     ("decimal_micros", DecimalMicros.fromExprs _, classOf[DecimalMicros]),
     ("micros_double", MicrosDouble.fromExprs _, classOf[MicrosDouble]),
     ("json_get_long", JsonGetLong.fromExprs _, classOf[JsonGetLong]),

@@ -191,18 +191,18 @@ object ExtendedQueries {
        |FROM s ORDER BY 1""".stripMargin
   ) { (spark, dir) =>
     graft.functions.CustomFunctions.register(spark)
+    // One codegen pass per row: hll_packed = (j << 8) | rho (see
+    // HllPacked) — replaces the composed md5 + bin()/length() register
+    // derivation, whose bin() allocated a string per input row. The
+    // unpack expressions below are plain bit ops inside the same
+    // whole-stage-codegen span as the partial aggregate.
     val li = table(spark, dir, "lineitem").select(
       col("l_returnflag").as("flag"),
-      call_function("md5_lower64", col("l_orderkey").cast("string")).as("h"))
-    // w = h >>> p is non-negative, so Spark's signed bin() equals
-    // DuckDB's unsigned bin() — no sign-extension divergence.
-    val w = shiftrightunsigned(col("h"), hllP)
+      call_function("hll_packed", col("l_orderkey").cast("string"),
+        lit(hllP)).as("pk"))
     val reg = li
-      .select(col("flag"),
-        col("h").bitwiseAND(lit((hllM - 1).toLong)).as("j"),
-        when(w === 0L, lit(hllMaxRho))
-          .otherwise(lit(hllMaxRho) - length(bin(w))).as("rho"))
-      .groupBy("flag", "j").agg(max(col("rho")).as("m"))
+      .groupBy(col("flag"), shiftrightunsigned(col("pk"), 8).as("j"))
+      .agg(max(col("pk").bitwiseAND(lit(255L))).cast("int").as("m"))
     val grid = li.select("flag").distinct()
       .select(col("flag"), explode(sequence(lit(0L), lit((hllM - 1).toLong))).as("j"))
     val est = lit(hllC) /

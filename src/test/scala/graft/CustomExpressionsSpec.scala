@@ -25,6 +25,31 @@ class CustomExpressionsSpec extends SparkSpec {
     inputs.foreach(s => assert(got(s) === refRollingHash(s), s"input '$s'"))
   }
 
+  test("hll_packed equals the composed bin()/length() register derivation") {
+    // q20's oracle keeps the composed relational form (md5 → bucket →
+    // (64-p+1) - length(bin(w))); the native expression must stay
+    // bit-identical to it for every p and hash pattern, including the
+    // w == 0 degenerate (nlz(0) = 64 folds into the same formula).
+    CustomFunctions.register(spark)
+    val inputs = (0 until 2000).map(i => s"key-$i") ++ Seq("", "a", "Ω∂")
+    for (p <- Seq(4, 9, 14)) {
+      val df = inputs.toDF("s").select(col("s"),
+        call_function("hll_packed", col("s"), lit(p)).as("pk"),
+        call_function("md5_lower64", col("s")).as("h"))
+      df.collect().foreach { r =>
+        val (s, pk, h) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val j = h & ((1L << p) - 1)
+        val w = h >>> p
+        val maxRho = 64 - p + 1
+        val rho =
+          if (w == 0L) maxRho
+          else maxRho - java.lang.Long.toBinaryString(w).length
+        assert(pk >> 8 === j, s"bucket mismatch for '$s' p=$p")
+        assert((pk & 0xff) === rho, s"rank mismatch for '$s' p=$p")
+      }
+    }
+  }
+
   test("minhash128: single-feature group signature is mix_i(hash)") {
     CustomFunctions.register(spark)
     val df = Seq((1L, 42L)).toDF("k", "h")

@@ -113,6 +113,28 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("p06's decontamination join is shuffled-hash, build = test-shingle side") {
+    // Round-11 ADVICE: the broadcast-hint removal was pinned (allowlist
+    // above) but the REPLACEMENT shape wasn't — a refactor dropping the
+    // shuffle_hash hint would let the planner fall back to sort-merge,
+    // silently reintroducing a sort of the corpus-sized probe side.
+    // Pin the physical join on the shingle key: ShuffledHashJoin with
+    // the test-shingle (right) side as build. Other p06 joins (the
+    // doc_id split join, the final left join) are free to pick their
+    // own shapes, so the assertion is scoped to the [g#…] key.
+    val plan = executedPlan("p06_decontaminate").split("== Initial Plan ==")(0)
+    val gramJoin = plan.linesIterator
+      .filter(l => l.contains("ShuffledHashJoin") && l.contains("[g#")).toSeq
+    assert(gramJoin.nonEmpty,
+      s"p06: shingle join not planned as ShuffledHashJoin:\n$plan")
+    assert(gramJoin.exists(_.contains("BuildRight")),
+      "p06: build side moved off the test-shingle (right) side")
+    val smjGram = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") && l.contains("[g#")).toSeq
+    assert(smjGram.isEmpty,
+      "p06: shingle join degraded to sort-merge — probe side gets sorted")
+  }
+
   test("s03/s07 cell routing stays inside whole-stage codegen") {
     // TopCells' fallback regression mode: if the expression (either
     // regime — s03 runs flat, s07 runs the two-level path) drops to
