@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   * Stock Spark ships no brotli codec, so we write zstd — comparable
   * ratio, faster decode, and the two-phase write-then-compact dance is
   * unnecessary because the distributed write is already final.
+  *
+  * Brotli parity — FINAL decision (round 12): rejected. Probed
+  * empirically: `option("compression", "brotli")` throws
+  * `BadConfigurationException` — parquet-java 1.16 delegates BROTLI to
+  * a Hadoop `BrotliCodec` that no jar on the Spark 4.1.2 classpath
+  * provides (aircompressor 2.0.3 covers lz4/lzo/snappy/zstd only; the
+  * public `brotli-codec` wrapper bundles per-platform native libs and
+  * is not shippable under this project's no-new-dependencies
+  * constraint). Cost of the divergence is nil for interop: DuckDB —
+  * the reference's own query engine — reads zstd parquet natively, so
+  * every reference workflow consumes these files unchanged; only
+  * byte-level file identity with a reference-produced archive is
+  * unattainable, and that was never stable anyway (row-group sizing
+  * and writer metadata already differ).
   */
 object CardanoWriter {
 
