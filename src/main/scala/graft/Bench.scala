@@ -49,6 +49,18 @@ object Bench {
       // default-parallelism floor, so no stage LOSES cores to this.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // Shuffle-file hygiene (the sf100 octave's ENOSPC find): shuffle
+      // files are only deleted when ContextCleaner sees their
+      // ShuffleDependency become weakly unreachable — which needs a
+      // DRIVER GC, and a 96 GiB heap running 90 queries never GCs on
+      // its own, so one suite pass accumulated >51 GB of dead shuffle
+      // files and filled the disk at sf100. This is Spark's own knob
+      // for exactly that (ContextCleaner schedules a periodic
+      // System.gc()); the 30min default assumes long-lived clusters
+      // with big local disks. A real 1000-executor deployment hits the
+      // same wall as disk-full executor loss. GC cost on a mostly-dead
+      // heap is ~100 ms/min — outside every per-query timing window.
+      .config("spark.cleaner.periodicGC.interval", "45s")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       // NOTE: measured, rejected: coalescePartitions.parallelismFirst=
       // false (size-first AQE coalescing) regressed the suite 31.5→45 s

@@ -17,22 +17,36 @@ import graft.functions.CustomFunctions
   */
 object TextQueries {
 
-  /** Session-scoped memo of the exploded (doc_id, tok) relation —
-    * t05/t06/t07 all re-tokenize the corpus, and t07's vocab-then-score
-    * shape consumes it on BOTH sides of a join (each side re-executes
-    * its subtree), so a Verify/Bench session materializes the explode
-    * once. Same contract as DedupQueries.sharedGrams: the dir's parquet
-    * is assumed immutable for the session; [[invalidateCaches]]
-    * releases the cached blocks.
+  /** Session-scoped memo of the per-document term-count relation
+    * `(doc_id, tok, cnt)` — the round-12 replacement for the exploded
+    * (doc_id, tok) token stream that t05/t06/t07/t11 previously shared.
+    * The `ngram_counts(w, 1)` generator collapses each document's
+    * duplicate tokens MAP-SIDE (one (tok, multiplicity) row per
+    * distinct token per doc, in one codegen'd pass over the token
+    * array), so every downstream shuffle moves per-doc-DISTINCT rows
+    * instead of every token instance: t11's tf stage — previously its
+    * own corpus-wide (doc_id, tok) shuffle — falls out of the generator
+    * with NO shuffle at all, t05/t06's vocabulary pass and t07's
+    * vocab + scoring join shrink to the distinct stream (documents
+    * repeat tokens heavily; the instance stream is the multiple), and
+    * the cached relation itself is proportionally smaller. Exactness:
+    * SUM(cnt) per token ≡ COUNT(*) over instances (long arithmetic),
+    * so every oracle stays hash-identical. Same contract as
+    * DedupQueries.sharedGrams: the dir's parquet is assumed immutable
+    * for the session; [[invalidateCaches]] releases the cached blocks.
     */
-  private val toksMemo =
+  private val tokCountsMemo =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
-  def sharedToks(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    toksMemo.getOrElseUpdate((spark, dir),
+  def sharedTokCounts(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    tokCountsMemo.getOrElseUpdate((spark, dir), {
+      graft.functions.CustomFunctions.register(spark)
       tableFan(spark, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .cache())
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), call_function("ngram_counts", col("w"), lit(1)))
+        .select(col("doc_id"), col("ngram").as("tok"), col("cnt"))
+        .cache()
+    })
 
   /** Session-scoped memo of the deterministic split assignment
     * `(doc_id, bucket, split)` — the narrow relation p02 reports and
@@ -60,7 +74,7 @@ object TextQueries {
         .cache())
 
   def invalidateCaches(): Unit = {
-    Seq(toksMemo, splitMemo).foreach { m =>
+    Seq(tokCountsMemo, splitMemo).foreach { m =>
       m.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
       m.clear()
     }
@@ -602,8 +616,10 @@ object TextQueries {
       |SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
       |ORDER BY freq DESC, tok LIMIT 20""".stripMargin
   ) { (spark, dir) =>
-    sharedToks(spark, dir)
-      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    // SUM of per-doc multiplicities ≡ COUNT(*) over instances, but the
+    // shuffle moves per-doc-distinct rows (see sharedTokCounts)
+    sharedTokCounts(spark, dir)
+      .groupBy("tok").agg(sum(col("cnt")).as("freq"))
       .orderBy(col("freq").desc, col("tok"))
       .limit(20)
   }
@@ -662,8 +678,8 @@ object TextQueries {
     // query). One token shuffle (map-side-combined groupBy) feeds the
     // sketch, the heavy-hitter list, and the probes; bucket counts are
     // bit-identical (long sums, same per-(i, tok) hash).
-    val vocab = sharedToks(spark, dir).select("tok")
-      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val vocab = sharedTokCounts(spark, dir)
+      .groupBy("tok").agg(sum(col("cnt")).as("freq"))
     val sketch = vocab
       .select(col("tok"), col("freq"),
         explode(sequence(lit(0), lit(cmDepth - 1))).as("i"))
@@ -717,13 +733,18 @@ object TextQueries {
     // and casting the exact integer total long→double rounds identically
     // to the oracle's DECIMAL(38,6)→double (both correctly rounded from
     // the same value) — no decimal accumulator needed at all.
-    val toks = sharedToks(spark, dir)
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
-    toks.join(vocab, "tok")
+    // Round 12: both the vocab pass and the scoring join consume the
+    // per-doc term counts — the instance stream never exists. Per-doc
+    // totals weight by cnt: n_toks = Σ cnt, sum_tok_freq = Σ cnt·freq,
+    // n_rare = Σ cnt over rare terms (each instance of a rare token
+    // counted once, exactly the instance-join semantics).
+    val tc = sharedTokCounts(spark, dir)
+    val vocab = tc.groupBy("tok").agg(sum(col("cnt")).as("freq"))
+    tc.join(vocab, "tok")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        sum(col("freq")).cast("double").as("sum_tok_freq"),
-        sum(when(col("freq") <= rareFreqMax, 1L).otherwise(0L)).as("n_rare"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        sum(col("cnt") * col("freq")).cast("double").as("sum_tok_freq"),
+        sum(when(col("freq") <= rareFreqMax, col("cnt")).otherwise(0L)).as("n_rare"))
       .orderBy("doc_id")
   }
 
@@ -1113,8 +1134,11 @@ object TextQueries {
        |FROM ranked WHERE rank <= $keywordK ORDER BY doc_id, rank""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val toks = sharedToks(spark, dir)
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // Round 12: tf ≡ the per-doc term counts — it falls out of the
+    // ngram_counts generator map-side; the (doc_id, tok) shuffle that
+    // built it (previously this query's widest stage) is gone entirely.
+    val tf = sharedTokCounts(spark, dir)
+      .select(col("doc_id"), col("tok"), col("cnt").as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = tableFan(spark, dir, "documents").groupBy().count().select(col("count").as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))

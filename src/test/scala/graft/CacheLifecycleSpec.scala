@@ -63,9 +63,10 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(second ne first, "expected retraining after invalidate")
     assert(first.map(_.toSeq).toSeq === second.map(_.toSeq).toSeq, "seed-pinned")
 
-    // cached DataFrames: materialize the memoized token relation (the
-    // t05/t06/t07 shared explode), then assert invalidate drops its blocks
-    TextQueries.sharedToks(spark, sf).count()
+    // cached DataFrames: materialize the memoized term-count relation
+    // (the t05/t06/t07/t11 shared per-doc counts), then assert
+    // invalidate drops its blocks
+    TextQueries.sharedTokCounts(spark, sf).count()
     val whileCached = spark.sparkContext.getPersistentRDDs.size
     assert(whileCached >= 1)
     SparkEntry.invalidateCaches()
