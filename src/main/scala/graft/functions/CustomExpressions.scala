@@ -264,6 +264,15 @@ object HllPacked {
     val rho = java.lang.Long.numberOfLeadingZeros(h >>> p) - p + 1
     (j << 8) | rho
   }
+
+  /** Long input: hashes the value's DECIMAL STRING bytes, identical to
+    * `packed(CAST(v AS STRING))` — the oracle hashes VARCHAR, and
+    * Long.toString emits the same ASCII bytes as Spark's long→string
+    * cast, minus the per-row UTF8String round-trip.
+    */
+  def packedLong(v: Long, p: Int): Long =
+    packed(java.lang.Long.toString(v).getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII), p)
 }
 
 /** HyperLogLog register derivation as ONE codegen pass (q20's hot map
@@ -283,30 +292,28 @@ case class HllPacked(child: Expression, p: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType | BinaryType =>
+      case StringType | BinaryType | LongType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"hll_packed requires string or binary, got ${other.simpleString(10)}")
+          s"hll_packed requires string, binary or bigint, got ${other.simpleString(10)}")
     }
 
-  private def toBytes(input: Any): Array[Byte] = input match {
-    case s: UTF8String => s.getBytes
-    case b: Array[Byte] => b
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => HllPacked.packed(s.getBytes, p)
+    case b: Array[Byte] => HllPacked.packed(b, p)
+    case l: Long => HllPacked.packedLong(l, p)
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    HllPacked.packed(toBytes(input), p)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bytesExpr = child.dataType match {
-      case StringType => (c: String) => s"$c.getBytes()"
-      case _ => (c: String) => c
-    }
-    nullSafeCodeGen(ctx, ev, c => {
-      s"${ev.value} = graft.functions.HllPacked.packed(${bytesExpr(c)}, $p);"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => child.dataType match {
+      case StringType =>
+        s"${ev.value} = graft.functions.HllPacked.packed($c.getBytes(), $p);"
+      case LongType =>
+        s"${ev.value} = graft.functions.HllPacked.packedLong($c, $p);"
+      case _ =>
+        s"${ev.value} = graft.functions.HllPacked.packed($c, $p);"
     })
-  }
 
   override protected def withNewChildInternal(newChild: Expression): HllPacked =
     copy(child = newChild)

@@ -198,8 +198,9 @@ object ExtendedQueries {
     // whole-stage-codegen span as the partial aggregate.
     val li = table(spark, dir, "lineitem").select(
       col("l_returnflag").as("flag"),
-      call_function("hll_packed", col("l_orderkey").cast("string"),
-        lit(hllP)).as("pk"))
+      // long input: hashes the decimal-string bytes directly (see
+      // HllPacked.packedLong) — no per-row cast/UTF8String round-trip
+      call_function("hll_packed", col("l_orderkey"), lit(hllP)).as("pk"))
     val reg = li
       .groupBy(col("flag"), shiftrightunsigned(col("pk"), 8).as("j"))
       .agg(max(col("pk").bitwiseAND(lit(255L))).cast("int").as("m"))

@@ -36,6 +36,12 @@ class CustomExpressionsSpec extends SparkSpec {
       val df = inputs.toDF("s").select(col("s"),
         call_function("hll_packed", col("s"), lit(p)).as("pk"),
         call_function("md5_lower64", col("s")).as("h"))
+      // long input ≡ string input on the value's decimal form
+      val viaLong = (0 until 512).map(_.toLong).toDF("v").select(
+        call_function("hll_packed", col("v"), lit(p)).as("pkL"),
+        call_function("hll_packed", col("v").cast("string"), lit(p)).as("pkS"))
+      assert(viaLong.filter(col("pkL") =!= col("pkS")).count() === 0L,
+        s"packedLong diverges from packed(cast) at p=$p")
       df.collect().foreach { r =>
         val (s, pk, h) = (r.getString(0), r.getLong(1), r.getLong(2))
         val j = h & ((1L << p) - 1)
