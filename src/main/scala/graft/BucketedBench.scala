@@ -80,32 +80,46 @@ object BucketedBench {
     ensure("orders", "o_orderkey")
     ensure("lineitem", "l_orderkey")
 
-    def plain(): DataFrame = CoreQueries.transferPipeline(spark, sfDir)
-    def bucketed(): DataFrame = CoreQueries.transferPipelineOn(
-      spark.table("lineitem_b"), spark.table("orders_b"))
-
     def save(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // correctness first: identical relation from both layouts
-    val a = plain().collect().map(_.toString).sorted
-    val b = bucketed().collect().map(_.toString).sorted
-    require(a.sameElements(b),
-      s"bucketed pipeline diverged: plain ${a.length} rows, bucketed ${b.length}")
+    // (label, plain body, bucketed body). q33 is the round-12 addition:
+    // its semi join is keyed on the bucket axis end-to-end, so the
+    // bucketed layout elides BOTH sides' exchanges — the purest probe
+    // of whether write-time placement pays for the probe-throughput
+    // rows (VERDICT r11 item 3b).
+    val pipelines: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q10",
+        () => CoreQueries.transferPipeline(spark, sfDir),
+        () => CoreQueries.transferPipelineOn(
+          spark.table("lineitem_b"), spark.table("orders_b"))),
+      ("q33",
+        () => graft.ops.ExtendedQueries.q33Pipeline(spark, sfDir),
+        () => graft.ops.ExtendedQueries.q33PipelineOn(spark,
+          spark.table("lineitem_b"), spark.table("orders_b"))))
 
-    val variants = Seq("plain" -> (() => plain()), "bucketed" -> (() => bucketed()))
-    variants.foreach { case (_, f) => save(f()) } // warm (JIT + codegen)
-    val best = scala.collection.mutable.Map.empty[String, Double]
-    (1 to passes).foreach { _ =>
-      variants.foreach { case (name, f) =>
-        val df = f()
-        val t0 = System.nanoTime()
-        save(df)
-        val t = (System.nanoTime() - t0) / 1e9
-        if (!best.contains(name) || t < best(name)) best(name) = t
+    val results = pipelines.map { case (label, plain, bucketed) =>
+      // correctness first: identical relation from both layouts
+      val a = plain().collect().map(_.toString).sorted
+      val b = bucketed().collect().map(_.toString).sorted
+      require(a.sameElements(b),
+        s"$label bucketed diverged: plain ${a.length} rows, bucketed ${b.length}")
+
+      val variants = Seq("plain" -> plain, "bucketed" -> bucketed)
+      variants.foreach { case (_, f) => save(f()) } // warm (JIT + codegen)
+      val best = scala.collection.mutable.Map.empty[String, Double]
+      (1 to passes).foreach { _ =>
+        variants.foreach { case (name, f) =>
+          val df = f()
+          val t0 = System.nanoTime()
+          save(df)
+          val t = (System.nanoTime() - t0) / 1e9
+          if (!best.contains(name) || t < best(name)) best(name) = t
+        }
       }
+      f""""$label":{"plain":${best("plain")}%.3f,"bucketed":${best("bucketed")}%.3f,"rows":${a.length}}"""
     }
     spark.stop()
-    println(f"""{"metric":"q10_bucketed_ab","plain":${best("plain")}%.3f,"bucketed":${best("bucketed")}%.3f,"rows":${a.length},"sf":"$sfName"}""")
+    println(s"""{"metric":"bucketed_ab","sf":"$sfName",${results.mkString(",")}}""")
   }
 }

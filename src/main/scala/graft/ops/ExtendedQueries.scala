@@ -900,20 +900,29 @@ object ExtendedQueries {
     * `forceBloom` overrides the gate for specs/benchmarks.
     */
   def q33Pipeline(spark: SparkSession, dir: String,
-      forceBloom: Option[Boolean] = None): DataFrame = {
+      forceBloom: Option[Boolean] = None): DataFrame =
+    q33PipelineOn(spark, table(spark, dir, "lineitem"),
+      table(spark, dir, "orders"), forceBloom)
+
+  /** [[q33Pipeline]] over caller-supplied relations — the seam the
+    * storage-layout A/B (graft.BucketedBench) drives with bucketed
+    * `orders_b`/`lineitem_b` so the semi join inherits the layout
+    * instead of shuffling, same pattern as q10's transferPipelineOn. */
+  def q33PipelineOn(spark: SparkSession, lineitem: DataFrame,
+      orders: DataFrame, forceBloom: Option[Boolean] = None): DataFrame = {
     import graft.functions.CustomFunctions
     CustomFunctions.register(spark)
-    val keys = table(spark, dir, "orders")
+    val keys = orders
       .filter(col("o_totalprice") > bloomPriceMin).select("o_orderkey")
     val useBloom = forceBloom.getOrElse {
       !spark.sparkContext.isLocal && {
         // both counts are pushed-filter single-column / metadata scans
         val nKeys = keys.count()
-        val nOrders = table(spark, dir, "orders").count()
+        val nOrders = orders.count()
         nKeys * 2 < nOrders
       }
     }
-    val fact = table(spark, dir, "lineitem")
+    val fact = lineitem
     val pruned = if (!useBloom) fact
     else {
       // size from the data, never a constant (see saturation note
