@@ -105,7 +105,12 @@ object ExtendedQueries {
       |ORDER BY op, key""".stripMargin
   ) { (spark, dir) =>
     val c = table(spark, dir, "customer")
-    // anti join: customers who never placed a >400k order
+    // anti join: customers who never placed a >400k order. Measured,
+    // rejected (round 12): shuffle_hash on the key side — 0.77→0.86 s
+    // solo at sf10, same window. Unlike q33, the BUILD side here (the
+    // ~3M filtered order keys) outnumbers the PROBE side (1.5M
+    // customers), so hashing the bigger relation to skip sorting the
+    // smaller one is backwards; sort-merge stands.
     val never = c
       .join(table(spark, dir, "orders")
           .filter(col("o_totalprice") > 400000d).select(col("o_custkey")),
@@ -937,11 +942,19 @@ object ExtendedQueries {
         lit(bloomBytes), xxhash64(col("l_orderkey"))))
     }
     pruned
-      // keys is the price-filtered order set — data-dependent, so the
-      // exact semi join is unhinted; the bloom (a KB regardless of key
-      // count) already cut the probe side, and AQE broadcasts the key
-      // relation only while its runtime size allows
-      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      // keys is the price-filtered order set — data-dependent, so no
+      // BROADCAST hint (the 100 TB driver-OOM mode; AQE may still
+      // convert while runtime size allows). shuffle_hash instead
+      // (round 12): without it the semi join plans sort-merge and the
+      // dominant cost is SORTING THE PROBE SIDE — 60M fact rows sorted
+      // to discard all but the join check (measured solo at sf10, same
+      // window: SMJ 3.11 s → SHJ 2.86 s). The build side is the KEY set
+      // (unique o_orderkey, no skew), hash-partitioned across all
+      // executors — per-partition build = nKeys/parts, bounded at any
+      // scale by widening parts, unlike a broadcast. Same posture as
+      // p06/d02's inverted-index joins.
+      .join(keys.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
         microsDouble(sum(decMicros(col("l_quantity")))).as("sum_qty"))
