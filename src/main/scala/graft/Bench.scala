@@ -49,6 +49,24 @@ object Bench {
       // default-parallelism floor, so no stage LOSES cores to this.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // Let AQE rewrite sort-merge joins to shuffled-hash at runtime
+      // when every post-shuffle build partition fits in memory (guide
+      // §3.1: SHJ skips sorting BOTH sides; SMJ stays the fallback
+      // whenever a partition exceeds the bound, so the spill-safety
+      // ladder is intact). The unit is per-partition bytes — scale-
+      // INDEPENDENT, because partition count grows with data (the
+      // initialPartitionNum posture below): 64 MB per build partition
+      // holds at sf0.1 and at 100 TB alike. This replaces the static
+      // shuffle_hash hint q33 briefly carried in round 12, which pinned
+      // the logical plan and blocked AQE's broadcast conversion at
+      // small scale (q33 sf0.1 solo: hinted 0.59 s vs 0.38 s with this
+      // knob; sf10 solo SMJ 17.3 → SHJ 7.1-7.8 s, hint 6.4 s — the
+      // size-driven plan gives up ~10% at sf10 to win 55% at the gate
+      // scale and keep the broadcast regime). 64m (not advisory's 256m)
+      // bounds worst-case per-task build memory at 32 concurrent tasks
+      // to ~2 GB.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       // Shuffle-file hygiene (the sf100 octave's ENOSPC find): shuffle
       // files are only deleted when ContextCleaner sees their
       // ShuffleDependency become weakly unreachable — which needs a

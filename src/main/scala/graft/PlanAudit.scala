@@ -25,6 +25,15 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's tuned session (round 12) so the dumped plans are
+      // the plans the bench actually runs — the audit previously ran
+      // stock AQE, which hides the SMJ→SHJ runtime conversions and the
+      // wide-then-coalesce exchange posture the bench sees
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))

@@ -944,16 +944,26 @@ object ExtendedQueries {
     pruned
       // keys is the price-filtered order set — data-dependent, so no
       // BROADCAST hint (the 100 TB driver-OOM mode; AQE may still
-      // convert while runtime size allows). shuffle_hash instead
-      // (round 12): without it the semi join plans sort-merge and the
-      // dominant cost is SORTING THE PROBE SIDE — 60M fact rows sorted
-      // to discard all but the join check (measured solo at sf10, same
-      // window: SMJ 3.11 s → SHJ 2.86 s). The build side is the KEY set
-      // (unique o_orderkey, no skew), hash-partitioned across all
-      // executors — per-partition build = nKeys/parts, bounded at any
-      // scale by widening parts, unlike a broadcast. Same posture as
-      // p06/d02's inverted-index joins.
-      .join(keys.hint("shuffle_hash"),
+      // convert while runtime size allows). Round 12 first shipped a
+      // static shuffle_hash hint here (SMJ sorts the 60M-row probe side
+      // just to discard it — measured solo at sf10: SMJ 3.11 s → SHJ
+      // 2.86 s), but a strategy hint PINS the logical plan: AQE can no
+      // longer convert the join to broadcast when the key side turns
+      // out tiny, and the sf0.1 row regressed 0.28 → 0.70 s (the gate
+      // scale the driver benches). The scale-correct form is NO hint +
+      // `spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold`
+      // (set in Bench's session, guide §3.1): AQE then picks broadcast
+      // when the built side fits, shuffled-hash when per-partition
+      // builds fit (skipping both sorts — the key set is unique
+      // o_orderkey, no skew, per-partition build = nKeys/parts, bounded
+      // at any scale by widening parts), and sort-merge only as the
+      // spill-safe fallback. Measured solo, same windows (best-of-N):
+      // sf0.1 hint 0.59 s → no-hint+threshold 0.38 s (AQE broadcast);
+      // sf10 SMJ 17.3 s → threshold-SHJ 7.1-7.8 s vs hint 6.4 s — the
+      // static hint keeps a ~10% edge at sf10 but costs 55% at the
+      // gate scale and forfeits the broadcast regime entirely; the
+      // size-driven plan is the scale-honest one.
+      .join(keys,
         col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
