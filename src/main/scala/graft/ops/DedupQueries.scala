@@ -1152,10 +1152,31 @@ object DedupQueries {
        |WHERE w.doc_id <> s.src
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
     CustomFunctions.register(spark)
-    val wd = sharedWins(spark, dir).select("h", "doc_id").distinct()
-    val srcs = wd.groupBy("h").agg(min("doc_id").as("src"))
-    wd.join(srcs, "h")
+    // Round 12: ONE h-keyed exchange serves the distinct, the min, and
+    // the attribution. The old form (distinct → groupBy(h).min → join
+    // back on h) exchanged the posting stream three times — (h, doc_id)
+    // for the distinct, h for the min aggregate, h again for the join
+    // probe. Explicitly repartitioning by h FIRST satisfies the
+    // distinct's (h, doc_id) clustering requirement (h-equal rows are
+    // colocated, so (h, doc_id)-equal rows are too), and the min-per-h
+    // then comes from a window over the SAME partitioning — the srcs
+    // relation and its join never exist. The trade: the repartition
+    // moves the raw instance stream (no map-side partial dedup), but
+    // sliding windows are near-unique within a document (duplicates =
+    // within-doc repeated k-token phrases only), so the instance and
+    // distinct streams are nearly the same size — while the rewrite
+    // deletes two full exchanges of that stream plus the join. The skew
+    // posture is unchanged: a boilerplate window key is ONE hot h in
+    // either plan. Measured (R12Profile, equality-checked both
+    // directions before timing): sf0.1 0.64 → 0.32 s, sf10 6.30 →
+    // 2.94 s (-53%); the middle variant (distinct, then window) sits
+    // between at both SFs — both saved exchanges pay.
+    val wd = sharedWins(spark, dir)
+      .select("h", "doc_id").repartition(col("h"))
+      .dropDuplicates("h", "doc_id")
+    wd.withColumn("src", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") =!= col("src"))
       .groupBy(col("src").as("src_doc"), col("doc_id").as("dup_doc"))
       .agg(count(lit(1)).as("n_windows"))

@@ -738,6 +738,12 @@ object TextQueries {
     // totals weight by cnt: n_toks = Σ cnt, sum_tok_freq = Σ cnt·freq,
     // n_rare = Σ cnt over rare terms (each instance of a rare token
     // counted once, exactly the instance-join semantics).
+    // Measured, rejected (R12Profile): freq via window-sum over
+    // partitionBy(tok) — one tok exchange instead of agg + probe
+    // re-exchange, but the window must SORT the term stream by tok
+    // where the hash agg + hash join don't sort anything, and the
+    // vocab probe side is Zipf-small (AQE broadcasts it at gate SFs):
+    // sf0.1 0.236 → 0.274 s, sf10 2.10 → 2.27 s. groupBy+join stands.
     val tc = sharedTokCounts(spark, dir)
     val vocab = tc.groupBy("tok").agg(sum(col("cnt")).as("freq"))
     tc.join(vocab, "tok")
