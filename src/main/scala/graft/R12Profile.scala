@@ -106,6 +106,109 @@ object R12Profile {
       println(f"[best] $name%-22s $best%8.3f s")
     }
 
+    // ---- q10 variant ----------------------------------------------------
+    def q10Shipped: DataFrame = ops.CoreQueries.q10.fn(spark, sfDir)
+
+    /** Fuse the relevance semi join and the out_addrs join: tx_id is
+      * tuAgg's group key (unique), so orders INNER JOIN tuAgg is
+      * row-for-row the semi join AND delivers out_addrs in the same
+      * pass — the separate distinct-tx_id scan+agg+broadcast and one
+      * whole join drop out, and the in_addrs probe can reuse tuAgg's
+      * exchange (same aggregate subtree). */
+    def q10Fused: DataFrame = {
+      import graft.io.Tables.table
+      val li = table(spark, sfDir, "lineitem")
+      val orders = table(spark, sfDir, "orders")
+      val tu = li
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45d)
+        .select(col("l_orderkey").as("tx_id"),
+          concat(lit("S"), col("l_suppkey").cast("string")).as("address"))
+      val tuAgg = tu.groupBy("tx_id")
+        .agg(array_join(sort_array(collect_set(col("address"))), ",").as("addrs"))
+      val relevant = orders
+        .join(tuAgg, col("o_orderkey") === col("tx_id"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("addrs").as("out_addrs"))
+      val relevantCust = relevant.select("o_custkey").distinct()
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val prev = orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(relevantCust, Seq("o_custkey"), "left_semi")
+        .withColumn("prev_ok", lag(col("o_orderkey"), 1).over(w))
+        .select("o_orderkey", "prev_ok")
+      relevant
+        .join(prev, Seq("o_orderkey"), "left")
+        .join(tuAgg.select(col("tx_id").as("prev_ok"), col("addrs").as("in_addrs")),
+          Seq("prev_ok"), "left")
+        .filter(!(col("in_addrs") <=> col("out_addrs")))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("in_addrs"), lit("")).as("in_addrs"),
+          coalesce(col("out_addrs"), lit("")).as("out_addrs"))
+        .orderBy("o_orderkey")
+    }
+
+    // ---- q23 variant ----------------------------------------------------
+    def q23Shipped: DataFrame = ops.ExtendedQueries.q23.fn(spark, sfDir)
+
+    /** The shipped gate + bloom sizing pay `co.count()` — a full
+      * execution of the customer⋈orders join — before the main query
+      * runs the same join again (and the bloom build scans it a third
+      * time). Estimate |co| instead from two single-column pushed-filter
+      * scan counts (segment-filtered customers / all customers ×
+      * date-filtered orders): the estimate only sizes the bloom (false
+      * positives just add pre-agg groups the exact join drops) and
+      * drives the on/off gate — output is identical either way. */
+    def q23Estimate: DataFrame = {
+      import graft.io.Tables.table
+      import graft.functions.Functions.{decMicros, microsDouble}
+      CustomFunctions.register(spark)
+      val cutoff = to_timestamp(lit("1995-03-15 00:00:00"))
+      val c = table(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = table(spark, sfDir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = table(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val co = c.join(o, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      val nSegCust = table(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").count()
+      val nCust = table(spark, sfDir, "customer").count()
+      val nDateOrders = o.count()
+      val nOrders = table(spark, sfDir, "orders").count()
+      val estKeys = math.max(4096L,
+        (nDateOrders * nSegCust.toDouble / math.max(nCust, 1L)).toLong)
+      val lPruned = if (estKeys * 2 >= nOrders) l
+      else {
+        val bloomBytes = co
+          .agg(call_function("bloom_agg", xxhash64(col("o_orderkey")),
+            lit(math.max((estKeys * 1.5).toLong, 4096L))))
+          .collect()(0).getAs[Array[Byte]](0)
+        l.filter(call_function("bloom_might_contain",
+          lit(bloomBytes), xxhash64(col("l_orderkey"))))
+      }
+      val lAgg = lPruned.groupBy("l_orderkey")
+        .agg(microsDouble(sum(decMicros(
+          col("l_extendedprice") * (lit(1d) - col("l_discount"))))).as("revenue"))
+      co.join(lAgg, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }
+
+    if (which == "q23" || which == "all") {
+      check("q23_estimate", q23Shipped, q23Estimate)
+      time("q23_shipped", q23Shipped)
+      time("q23_estimate", q23Estimate)
+    }
+    if (which == "q10" || which == "all") {
+      check("q10_fused", q10Shipped, q10Fused)
+      time("q10_shipped", q10Shipped)
+      time("q10_fused", q10Fused)
+    }
     if (which == "d11" || which == "all") {
       check("d11_window", d11Shipped, d11Window)
       check("d11_one_exchange", d11Shipped, d11OneExchange)

@@ -431,13 +431,30 @@ object ExtendedQueries {
     //     probe pure overhead; the gate keeps that regime at the plain
     //     pre-agg plan). False positives only create extra pre-agg
     //     groups that the exact join drops — output identical.
-    val nKeys = co.count()
+    // Round 12: the gate + sizing previously paid `co.count()` — a FULL
+    // extra execution of the customer⋈orders join before the main query
+    // runs it again (and the bloom build scans it a third time).
+    // Estimate |co| instead from single-column pushed-filter scan
+    // counts: |co| ≈ |date-filtered orders| × segment fraction (the two
+    // dim filters are independent by construction). The estimate only
+    // sizes the bloom (undersizing adds false positives → extra pre-agg
+    // groups the exact join drops; the ×1.5 margin keeps the fpp near
+    // design) and drives the on/off gate — BOTH paths end in the same
+    // exact join, so output is identical for any gate decision.
+    // Measured (R12Profile, equality-checked): sf0.1 0.223 → 0.202 s,
+    // sf10 1.76 → 1.52 s.
+    val nSegCust = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    val nCust = table(spark, dir, "customer").count()
+    val nDateOrders = o.count()
     val nOrders = table(spark, dir, "orders").count()
-    val lPruned = if (nKeys * 2 >= nOrders) l
+    val estKeys = math.max(4096L,
+      (nDateOrders * nSegCust.toDouble / math.max(nCust, 1L)).toLong)
+    val lPruned = if (estKeys * 2 >= nOrders) l
     else {
       val bloomBytes = co
         .agg(call_function("bloom_agg", xxhash64(col("o_orderkey")),
-          lit(math.max(nKeys, 4096L))))
+          lit(math.max((estKeys * 1.5).toLong, 4096L))))
         .collect()(0).getAs[Array[Byte]](0)
       l.filter(call_function("bloom_might_contain",
         lit(bloomBytes), xxhash64(col("l_orderkey"))))
