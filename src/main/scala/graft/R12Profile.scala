@@ -86,6 +86,54 @@ object R12Profile {
         .orderBy("doc_id")
     }
 
+    /** t07 with ONE tok-keyed exchange (the d11 pattern, minus the sort
+      * the rejected window variant paid): repartition the term-count
+      * stream by tok once; the vocab aggregate's clustering requirement
+      * rides it (no agg exchange), and the scoring join of two
+      * co-partitioned children plans as SHJ build=vocab — the stream
+      * never crosses the wire a second time. */
+    def t07OneExchange: DataFrame = {
+      val tcp = TextQueries.sharedTokCounts(spark, sfDir).repartition(col("tok"))
+      val vocab = tcp.groupBy("tok").agg(sum(col("cnt")).as("freq"))
+      tcp.join(vocab.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_toks"),
+          sum(col("cnt") * col("freq")).cast("double").as("sum_tok_freq"),
+          sum(when(col("freq") <= TextQueries.rareFreqMax, col("cnt"))
+            .otherwise(0L)).as("n_rare"))
+        .orderBy("doc_id")
+    }
+
+    // ---- t11 variant ----------------------------------------------------
+    def t11Shipped: DataFrame = TextQueries.t11.fn(spark, sfDir)
+
+    /** Same one-exchange rewrite for t11's tf⋈df scoring join. */
+    def t11OneExchange: DataFrame = {
+      import graft.io.Tables.tableFan
+      val tfp = TextQueries.sharedTokCounts(spark, sfDir)
+        .select(col("doc_id"), col("tok"), col("cnt").as("tf"))
+        .repartition(col("tok"))
+      val dfRel = tfp.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = tableFan(spark, sfDir, "documents").groupBy().count()
+        .select(col("count").as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tfp.join(dfRel.hint("shuffle_hash"), "tok")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          ((col("tf") * col("n")).cast("double") / col("df").cast("double")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TextQueries.keywordK)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("tok").as("term"), col("score"))
+        .orderBy("doc_id", "rank")
+    }
+
+    if (which == "t11" || which == "all") {
+      check("t11_one_exchange", t11Shipped, t11OneExchange)
+      time("t11_shipped", t11Shipped)
+      time("t11_one_exchange", t11OneExchange)
+    }
+
     def check(name: String, a: => DataFrame, b: => DataFrame): Unit = {
       val da = a; val db = b
       val onlyA = da.exceptAll(db).count()
@@ -144,6 +192,89 @@ object R12Profile {
           coalesce(col("in_addrs"), lit("")).as("in_addrs"),
           coalesce(col("out_addrs"), lit("")).as("out_addrs"))
         .orderBy("o_orderkey")
+    }
+
+    // ---- q07 variant ----------------------------------------------------
+    def q07Shipped: DataFrame = ops.CoreQueries.q07.fn(spark, sfDir)
+
+    /** Replace the window's per-partition SORT with a hash aggregate +
+      * shuffled-hash join riding the SAME exchange: repartition by
+      * (pk, sk) once; the groupBy's clustering requirement is already
+      * satisfied (no agg exchange), and the join of two co-partitioned
+      * children plans as SHJ (threshold conf) with zero additional
+      * exchanges — the repartition exchange is reused for both join
+      * inputs. Total: 1 exchange, 0 sorts before the presentation
+      * orderBy, where the window form pays 1 exchange + 1 full sort of
+      * the fact stream. The bet: hashing 60M rows (build ≈ row count —
+      * 98% of groups are singletons) beats comparison-sorting them. */
+    def q07ReusedShj: DataFrame = {
+      import graft.io.Tables.table
+      import graft.functions.Functions.{decMicros, microsDouble}
+      val base = table(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .repartition(col("l_partkey"), col("l_suppkey"))
+      val g = base.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(decMicros(col("l_quantity"))).as("tot"))
+      base.join(g.hint("shuffle_hash"), Seq("l_partkey", "l_suppkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          microsDouble(sum(col("tot"))).as("sum_group_qty"))
+        .orderBy("l_orderkey")
+    }
+
+    if (which == "q07" || which == "all") {
+      check("q07_reused_shj", q07Shipped, q07ReusedShj)
+      time("q07_shipped", q07Shipped)
+      time("q07_reused_shj", q07ReusedShj)
+    }
+
+    /** Shipped q10 minus ONLY the relevantCust pruning of the lag
+      * window's input. The sf10 executed plan shows that pruning costs a
+      * full second exchange of orders (343 MiB) + an SMJ + the distinct
+      * chain (28 MiB agg exchange) to remove ~13% of window rows — tu's
+      * filter keeps ~2.5% of lineitems, which still touch ~87% of
+      * customers, and that retention is scale-invariant (same filter
+      * selectivity at every SF). The tu-distinct relevance semi join and
+      * the inRows pruning stay (those gate the join fan-out, the part
+      * round 8 measured as load-bearing). */
+    def q10NoCustPrune: DataFrame = {
+      import graft.io.Tables.table
+      val li = table(spark, sfDir, "lineitem")
+      val orders = table(spark, sfDir, "orders")
+      val tu = li
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45d)
+        .select(col("l_orderkey").as("tx_id"),
+          col("l_linenumber").as("output_index"),
+          concat(lit("S"), col("l_suppkey").cast("string")).as("address"))
+      val tuAgg = tu.groupBy("tx_id")
+        .agg(array_join(sort_array(collect_set(col("address"))), ",").as("addrs"))
+      val relevant = orders
+        .join(tuAgg.select("tx_id"), col("o_orderkey") === col("tx_id"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // lag equivalence: the pruning removed whole CUSTOMERS only, so
+      // every kept customer's order sequence — and with it every lag
+      // value the output reads — is identical without it.
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val prev = orders.select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("prev_ok", lag(col("o_orderkey"), 1).over(w))
+        .select("o_orderkey", "prev_ok")
+      relevant
+        .join(tuAgg.select(col("tx_id").as("o_orderkey"),
+          col("addrs").as("out_addrs")), Seq("o_orderkey"))
+        .join(prev, Seq("o_orderkey"), "left")
+        .join(tuAgg.select(col("tx_id").as("prev_ok"), col("addrs").as("in_addrs")),
+          Seq("prev_ok"), "left")
+        .filter(!(col("in_addrs") <=> col("out_addrs")))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("in_addrs"), lit("")).as("in_addrs"),
+          coalesce(col("out_addrs"), lit("")).as("out_addrs"))
+        .orderBy("o_orderkey")
+    }
+
+    if (which == "q10np" || which == "all") {
+      check("q10_no_cust_prune", q10Shipped, q10NoCustPrune)
+      time("q10_shipped", q10Shipped)
+      time("q10_no_cust_prune", q10NoCustPrune)
     }
 
     // ---- q23 variant ----------------------------------------------------
@@ -218,8 +349,10 @@ object R12Profile {
     }
     if (which == "t07" || which == "all") {
       check("t07_window", t07Shipped, t07Window)
+      check("t07_one_exchange", t07Shipped, t07OneExchange)
       time("t07_shipped", t07Shipped)
       time("t07_window", t07Window)
+      time("t07_one_exchange", t07OneExchange)
     }
     spark.stop()
   }

@@ -505,10 +505,22 @@ object CoreQueries {
       .join(tuAgg.select("tx_id"), col("o_orderkey") === col("tx_id"), "left_semi")
       .select("o_orderkey", "o_custkey", "o_totalprice")
 
-    val relevantCust = relevant.select("o_custkey").distinct()
+    // Round 12: the relevantCust pruning that used to gate this window's
+    // input is GONE. The sf10 executed plan showed its real price — a
+    // full second exchange of orders (343 MiB) + a sort-merge semi join
+    // + the distinct's own agg exchange — to remove only ~13% of window
+    // rows: tu's filter keeps ~2.5% of lineitems, but those touch ~87%
+    // of customers, and filter selectivity (hence retention) is
+    // scale-invariant, so the trade never inverts at larger SFs. The lag
+    // values the output reads are identical because the pruning removed
+    // whole customers only — every kept customer's order sequence was
+    // already intact. Measured (R12Profile q10np, equality-checked both
+    // directions): sf0.1 0.93 → 0.67 s (−28%), sf10 5.00 → 4.28 s
+    // (−14%). The tuAgg relevance semi join and the in/out lookups stay
+    // — round 8 measured THOSE as load-bearing (they gate the join
+    // fan-out); only the window-input pruning was net-negative.
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     val prev = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(relevantCust, Seq("o_custkey"), "left_semi")
       .withColumn("prev_ok", lag(col("o_orderkey"), 1).over(w))
       .select("o_orderkey", "prev_ok")
 
